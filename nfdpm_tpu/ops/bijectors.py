@@ -1,0 +1,374 @@
+"""Functional bijector primitives for the Glow flow, NHWC layout.
+
+Every bijector is a triple of pure functions over a parameter PyTree:
+
+    init_<name>(key, ...)            -> params
+    <name>_forward(params, x, ldj)   -> (y, ldj)       # ldj: [B] fp32 accum
+    <name>_inverse(params, y)        -> x
+
+plus, where the reference uses data-dependent initialization, an explicit
+
+    <name>_ddinit(params, x)         -> (new_params, y)
+
+pass (JAX has no in-forward mutation, so the reference's lazy ActNorm init —
+/root/reference/normalizing_flow/transforms.py:74-78 — becomes a separate
+one-batch functional pass, see SURVEY.md §7).
+
+Design notes (TPU-first, not a port):
+  * Layout is NHWC (TPU-native); the reference is NCHW. Channel-chunk /
+    squeeze orderings are chosen so latents are permutation-identical to the
+    reference's, enabling checkpoint import and parity tests.
+  * The invertible 1x1 convolution is PLU-parameterized (fixed permutation,
+    unit-lower L, upper U with fixed sign / learned log|diag|), so the
+    log-determinant is `H*W*sum(log_s)` (no slogdet) and the inverse is two
+    triangular solves — unlike the reference's full-matrix weight with fp64
+    `torch.slogdet` + explicit `inverse()`
+    (/root/reference/normalizing_flow/transforms.py:112-144) which does not
+    map well onto TPU. `plu_from_weight` imports reference full-W weights.
+  * All log-det accumulation is fp32 (the reference accumulates in fp64 on
+    CUDA; fp64 is unavailable/slow on TPU — parity tests bound the error).
+  * The 1x1 conv is executed as a single [B*H*W, C] x [C, C] matmul on the
+    MXU; actnorm folds into it at apply time in the fused path (see
+    ops/fused.py).
+
+Reference formula citations are inline below.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coupling import coupling_net_apply, coupling_net_ddinit, init_coupling_net
+from .zeroconv import init_zeroconv, zeroconv_apply
+
+Params = Dict[str, Any]
+
+_EPS_ACTNORM_INIT = 1e-6  # matches transforms.py:76
+_EPS_COUPLING = 1e-6      # matches transforms.py:184,199
+
+
+# ---------------------------------------------------------------------------
+# ActNorm
+# ---------------------------------------------------------------------------
+
+def init_actnorm(channels: int) -> Params:
+    """Zero (pseudo-)init; real init is `actnorm_ddinit` on the first batch.
+
+    Mirrors `ActNorm.__init__` (/root/reference/normalizing_flow/transforms.py:42-54).
+    """
+    return {
+        "scale": jnp.zeros((channels,), jnp.float32),  # log-scale
+        "bias": jnp.zeros((channels,), jnp.float32),
+    }
+
+
+def actnorm_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """y = exp(scale) * (x + bias); ldj += H*W*sum(scale).
+
+    Reference: transforms.py:80-81.  x: [B, H, W, C].
+    """
+    h, w = x.shape[1], x.shape[2]
+    y = jnp.exp(params["scale"]) * (x + params["bias"])
+    ldj = ldj + (h * w) * jnp.sum(params["scale"]).astype(ldj.dtype)
+    return y, ldj
+
+
+def actnorm_inverse(params: Params, y: jax.Array) -> jax.Array:
+    """x = y * exp(-scale) - bias.  Reference: transforms.py:94-95."""
+    return y * jnp.exp(-params["scale"]) - params["bias"]
+
+
+def actnorm_ddinit(params: Params, x: jax.Array) -> Tuple[Params, jax.Array]:
+    """Data-dependent init: per-channel zero mean / unit variance after forward.
+
+    scale = -log(std_c(x) + 1e-6) (Bessel-corrected std, matching torch's
+    default `unbiased=True`), bias = -mean_c(x).  Reference: transforms.py:74-78.
+    Returns the initialized params and the forward-transformed batch.
+    """
+    del params
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    std = jnp.std(x, axis=(0, 1, 2), ddof=1)
+    new = {
+        "scale": -jnp.log(std + _EPS_ACTNORM_INIT),
+        "bias": -mean,
+    }
+    y, _ = actnorm_forward(new, x, jnp.zeros((x.shape[0],), jnp.float32))
+    return new, y
+
+
+# ---------------------------------------------------------------------------
+# Invertible 1x1 convolution, PLU-parameterized
+# ---------------------------------------------------------------------------
+
+def init_invconv(key: jax.Array, channels: int) -> Params:
+    """Random-orthogonal init (QR of a Gaussian, matching transforms.py:112-114)
+    followed by a PLU decomposition.
+
+    Trainable leaves: `lower` (strictly-lower part used), `upper`
+    (strictly-upper part used), `log_s` (log|diag U|).  Non-trainable leaves
+    (stop-gradiented here and frozen via the optimizer mask in
+    training/optim.py): `p_mat` (the permutation matrix) and `sign`
+    (diag-sign of U).
+    """
+    w = jnp.linalg.qr(jax.random.normal(key, (channels, channels), jnp.float32))[0]
+    return plu_from_weight(w)
+
+
+def plu_from_weight(w: jax.Array) -> Params:
+    """Decompose a full invertible 1x1-conv weight [C, C] (torch [out, in]
+    layout, transforms.py:115) into the PLU parameterization.  Used both at
+    init and to import reference checkpoints (SURVEY.md §7)."""
+    import scipy.linalg  # host-side decomposition only
+
+    w_np = np.asarray(jax.device_get(w), np.float64)
+    p, l, u = scipy.linalg.lu(w_np)
+    s = np.diag(u).copy()
+    # The permutation is stored as a float32 matrix (stop-gradiented in the
+    # forward and frozen by the optimizer mask, training/optim.py) so the
+    # whole params tree stays float-differentiable for jax.grad.
+    return {
+        "p_mat": jnp.asarray(p, jnp.float32),
+        "lower": jnp.asarray(np.tril(l, -1), jnp.float32),
+        "upper": jnp.asarray(np.triu(u, 1), jnp.float32),
+        "log_s": jnp.asarray(np.log(np.abs(s)), jnp.float32),
+        "sign": jnp.asarray(np.sign(s), jnp.float32),
+    }
+
+
+def invconv_weight(params: Params) -> jax.Array:
+    """Reassemble the full weight W = P @ L @ U' (fp32, [C, C] = [out, in])."""
+    c = params["log_s"].shape[0]
+    eye = jnp.eye(c, dtype=jnp.float32)
+    l = eye + jnp.tril(params["lower"], -1)
+    u = jnp.triu(params["upper"], 1) + jnp.diag(
+        jax.lax.stop_gradient(params["sign"]) * jnp.exp(params["log_s"])
+    )
+    lu = jnp.matmul(l, u, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(jax.lax.stop_gradient(params["p_mat"]), lu,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def invconv_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """y[..., o] = sum_c W[o, c] x[..., c];  ldj += H*W*sum(log_s).
+
+    The logdet is exact by construction (|det W| = prod|diag U'|), replacing
+    the reference's fp64 slogdet (transforms.py:131).
+    """
+    h, w = x.shape[1], x.shape[2]
+    wmat = invconv_weight(params)
+    y = jnp.einsum("bhwc,oc->bhwo", x, wmat, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    ldj = ldj + (h * w) * jnp.sum(params["log_s"]).astype(ldj.dtype)
+    return y, ldj
+
+
+def invconv_inverse(params: Params, y: jax.Array) -> jax.Array:
+    """x = y @ W^{-T} via two triangular solves (no general inverse on TPU).
+
+    Reference computes an explicit `weight.inverse()` (transforms.py:144).
+    """
+    c = params["log_s"].shape[0]
+    eye = jnp.eye(c, dtype=jnp.float32)
+    l = eye + jnp.tril(params["lower"], -1)
+    u = jnp.triu(params["upper"], 1) + jnp.diag(params["sign"] * jnp.exp(params["log_s"]))
+    # W = P L U  =>  W^{-1} = U^{-1} L^{-1} P^{-1}; apply to channel vectors.
+    # x = W^{-1} y  per pixel: first undo P (gather rows), then solve L z = .,
+    # then U x = z. Batched: treat y as [N, C] and solve on the right.
+    b, hh, ww, _ = y.shape
+    yf = y.reshape(-1, c)
+    yp = jnp.matmul(yf, params["p_mat"], precision=jax.lax.Precision.HIGHEST)  # (P^T y) per pixel-row
+    z = jax.scipy.linalg.solve_triangular(l, yp.T, lower=True, unit_diagonal=True)
+    xf = jax.scipy.linalg.solve_triangular(u, z, lower=False)
+    return xf.T.reshape(b, hh, ww, c)
+
+
+# ---------------------------------------------------------------------------
+# Affine coupling
+# ---------------------------------------------------------------------------
+
+def init_coupling(key: jax.Array, channels: int, width: int = 512) -> Params:
+    """Coupling layer over `channels` (must be even): the net maps C/2 -> C.
+
+    Mirrors `AffineCoupling.__init__` (transforms.py:162-164) with the
+    3x3->1x1->3x3 coupling CNN of width 512 (utils.py:72-90).
+    """
+    return {"net": init_coupling_net(key, channels // 2, width, channels)}
+
+
+def coupling_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Channel-split affine coupling (transforms.py:179-185):
+    scale = sigmoid(log_scale + 2);  y_b = (x_b + bias) * scale;
+    ldj += sum log(scale + 1e-6).
+    """
+    c = x.shape[-1]
+    x_a, x_b = x[..., : c // 2], x[..., c // 2:]
+    h = coupling_net_apply(params["net"], x_a)
+    log_scale, bias = h[..., : c // 2], h[..., c // 2:]
+    scale = jax.nn.sigmoid(log_scale + 2.0)
+    y_b = (x_b + bias) * scale
+    ldj = ldj + jnp.sum(
+        jnp.log(scale + _EPS_COUPLING).reshape(x.shape[0], -1), axis=1
+    ).astype(ldj.dtype)
+    return jnp.concatenate([x_a, y_b], axis=-1), ldj
+
+
+def coupling_inverse(params: Params, y: jax.Array) -> jax.Array:
+    """x_b = y_b / (scale + 1e-6) - bias (transforms.py:196-200)."""
+    c = y.shape[-1]
+    y_a, y_b = y[..., : c // 2], y[..., c // 2:]
+    h = coupling_net_apply(params["net"], y_a)
+    log_scale, bias = h[..., : c // 2], h[..., c // 2:]
+    scale = jax.nn.sigmoid(log_scale + 2.0)
+    x_b = y_b / (scale + _EPS_COUPLING) - bias
+    return jnp.concatenate([y_a, x_b], axis=-1)
+
+
+def coupling_ddinit(params: Params, x: jax.Array) -> Tuple[Params, jax.Array]:
+    """Data-dependent init of the actnorms inside the coupling CNN, then a
+    normal forward (the coupling output itself needs no init)."""
+    c = x.shape[-1]
+    x_a = x[..., : c // 2]
+    new_net, _ = coupling_net_ddinit(params["net"], x_a)
+    new_params = {"net": new_net}
+    y, _ = coupling_forward(new_params, x, jnp.zeros((x.shape[0],), jnp.float32))
+    return new_params, y
+
+
+# ---------------------------------------------------------------------------
+# Squeeze (space-to-depth, factor 2)
+# ---------------------------------------------------------------------------
+
+def squeeze_forward(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (c, h2, w2) to match
+    the reference's `b c (h h1) (w w1) -> b (c h1 w1) h w` (transforms.py:226).
+    Volume-preserving: log-det contribution is zero.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, h/2, w/2, c, h2, w2
+    return x.reshape(b, h // 2, w // 2, c * 4)
+
+
+def squeeze_inverse(y: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, 2H, 2W, C/4] (transforms.py:238)."""
+    b, h, w, c = y.shape
+    y = y.reshape(b, h, w, c // 4, 2, 2)
+    y = y.transpose(0, 1, 4, 2, 5, 3)  # b, h, h2, w, w2, c/4
+    return y.reshape(b, h * 2, w * 2, c // 4)
+
+
+# ---------------------------------------------------------------------------
+# Split (multi-scale factor-out with learned per-split prior)
+# ---------------------------------------------------------------------------
+
+def init_split(channels: int, learn_prior: bool = True) -> Params:
+    """ZeroConv(C/2 -> C) producing (mean, log_sd) for the factored-out half.
+
+    Mirrors `Split.__init__` (transforms.py:254).  When `learn_prior` is
+    False the prior is standard normal (the reference crashes in the
+    analogous GaussianPrior path, prior.py:65-68 — a bug we do not replicate).
+    """
+    if not learn_prior:
+        return {"conv": None}
+    return {"conv": init_zeroconv(channels // 2, channels, filter_size=3)}
+
+
+def _split_prior_moments(params: Params, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    if params["conv"] is None:
+        zeros = jnp.zeros(y.shape[:-1] + (y.shape[-1],), y.dtype)
+        return zeros, zeros
+    h = zeroconv_apply(params["conv"], y)
+    c = h.shape[-1] // 2
+    return h[..., :c], h[..., c:]
+
+
+def split_forward(
+    params: Params, x: jax.Array, ldj: jax.Array, logp: jax.Array | None
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array | None]:
+    """Channel-halve; accumulate prior logp of the factored half when logp is
+    given (transforms.py:270-290; logp=None skips the prior, used by
+    NFBackbone — __init__.py:70-82)."""
+    c = x.shape[-1]
+    y, z = x[..., : c // 2], x[..., c // 2:]
+    if logp is not None:
+        mean, logsd = _split_prior_moments(params, y)
+        logp = logp + gaussian_logp(z, mean, logsd)
+    return y, ldj, z, logp
+
+
+def split_inverse(
+    params: Params,
+    y: jax.Array,
+    z: jax.Array | None,
+    key: jax.Array | None = None,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Concatenate the factored half back; when z is None, sample it from the
+    learned prior at `temperature` (transforms.py:305-307)."""
+    if z is None:
+        mean, logsd = _split_prior_moments(params, y)
+        z = gaussian_sample(key, mean, logsd, temperature)
+    return jnp.concatenate([y, z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Isotropic Gaussian density / sampling (prior.py:12-51)
+# ---------------------------------------------------------------------------
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def gaussian_logp(x: jax.Array, mean: jax.Array, logsd: jax.Array) -> jax.Array:
+    """Per-sample log N(x; mean, e^{2 logsd}) summed over non-batch dims
+    (prior.py:36-37)."""
+    ll = -0.5 * (_LOG_2PI + 2.0 * logsd + (x - mean) ** 2 * jnp.exp(-2.0 * logsd))
+    return jnp.sum(ll.reshape(x.shape[0], -1), axis=1)
+
+
+def gaussian_sample(
+    key: jax.Array, mean: jax.Array, logsd: jax.Array, temperature: float = 1.0
+) -> jax.Array:
+    """mean + (e^{logsd} * temperature) * eps (prior.py:49-50)."""
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
+    return mean + (jnp.exp(logsd) * temperature) * eps
+
+
+# ---------------------------------------------------------------------------
+# One Glow step: actnorm -> 1x1 conv -> coupling (glow.py:12-63)
+# ---------------------------------------------------------------------------
+
+def init_step(key: jax.Array, channels: int, width: int = 512) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "actnorm": init_actnorm(channels),
+        "invconv": init_invconv(k1, channels),
+        "coupling": init_coupling(k2, channels, width),
+    }
+
+
+def step_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    y, ldj = actnorm_forward(params["actnorm"], x, ldj)
+    y, ldj = invconv_forward(params["invconv"], y, ldj)
+    y, ldj = coupling_forward(params["coupling"], y, ldj)
+    return y, ldj
+
+
+def step_inverse(params: Params, y: jax.Array) -> jax.Array:
+    x = coupling_inverse(params["coupling"], y)
+    x = invconv_inverse(params["invconv"], x)
+    x = actnorm_inverse(params["actnorm"], x)
+    return x
+
+
+def step_ddinit(params: Params, x: jax.Array) -> Tuple[Params, jax.Array]:
+    """Data-dependent init through one step: init the step's actnorm on its
+    input, then run invconv, then init the coupling CNN's actnorms."""
+    an, y = actnorm_ddinit(params["actnorm"], x)
+    y, _ = invconv_forward(params["invconv"], y, jnp.zeros((x.shape[0],), jnp.float32))
+    cp, y = coupling_ddinit(params["coupling"], y)
+    return {"actnorm": an, "invconv": params["invconv"], "coupling": cp}, y

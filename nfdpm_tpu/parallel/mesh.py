@@ -1,0 +1,56 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has NO distributed code (SURVEY.md §2.9b) — this subsystem is
+greenfield TPU-native capability: batch-sharded data parallelism over ICI as
+the default, with the mesh/NamedSharding machinery general enough for
+tensor-parallel params (axis "model") when scaling up.
+
+Conventions:
+  * mesh axes: ("data", "model"); the default mesh is (n_devices, 1).
+  * batches are sharded P("data") on their leading axis; params are
+    replicated unless a model-parallel rule says otherwise.
+  * RNG: per-step keys are identical on all devices (replicated); ops that
+    must decorrelate across the batch shard fold in `jax.lax.axis_index`
+    inside shard_map regions — plain jit-under-mesh handles dequant noise
+    correctly because the batch axis itself is sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch onto the mesh, sharded along the batch axis."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,64 @@
+"""Optimizer construction: adam/adamw with the reference's double gradient
+clipping, plus a mask freezing the flow's non-trainable PLU constants.
+
+Reference behaviors reproduced:
+  * `init_optimizer` adam/adamw selection
+    (/root/reference/normalizing_flow/utils.py:120-137).
+  * NF trainer clips grads BOTH by value 1.0 and by global norm 1.0
+    (/root/reference/normalizing_flow/trainer.py:165-166); the diffusion
+    trainer uses no clipping (/root/reference/diffusion_prior/trainer.py:148-150).
+  * Two-LR param groups for unfrozen-flow diffusion training
+    (/root/reference/diffusion_prior/trainer.py:104-108) via
+    `optax.multi_transform` in training/diffusion_trainer.py.
+
+Note torch's `clip_grad_norm_(1)` clips by the global norm over all params —
+`optax.clip_by_global_norm` is the exact equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+FROZEN_LEAF_NAMES = ("p_mat", "sign")
+
+
+def _is_frozen_path(path) -> bool:
+    for p in path:
+        key = getattr(p, "key", None) or getattr(p, "name", None)
+        if key in FROZEN_LEAF_NAMES:
+            return True
+    return False
+
+
+def trainable_mask(params: Any) -> Any:
+    """PyTree of bools: False for PLU constants (p_mat / sign)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [not _is_frozen_path(path) for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def make_optimizer(
+    name: str = "adam",
+    lr: float = 1e-3,
+    clip_value: float | None = 1.0,
+    clip_norm: float | None = 1.0,
+) -> optax.GradientTransformation:
+    if name == "adam":
+        opt = optax.adam(lr)
+    elif name == "adamw":
+        opt = optax.adamw(lr)
+    else:
+        raise ValueError(f"Unknown optimizer: {name}")
+
+    chain = []
+    if clip_value is not None:
+        chain.append(optax.clip(clip_value))
+    if clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    chain.append(opt)
+    tx = optax.chain(*chain)
+    return optax.masked(tx, trainable_mask)

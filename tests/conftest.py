@@ -1,0 +1,27 @@
+"""Test bootstrap: force an 8-device virtual CPU mesh.
+
+This is the TPU-native analogue of "multi-node tests without a cluster"
+(SURVEY.md §4): sharding/mesh tests run against
+`--xla_force_host_platform_device_count=8` on CPU; the driver separately
+dry-runs the real multi-chip path via __graft_entry__.dryrun_multichip.
+
+Note: this environment's axon TPU plugin force-selects `jax_platforms=
+"axon,cpu"` at interpreter start (sitecustomize), so the env-var route is
+not enough — we override via jax.config after import, before any backend
+is instantiated.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
