@@ -75,10 +75,14 @@ def latent_shapes_chw(cfg: GlowConfig, size: int) -> List[Tuple[int, int, int]]:
 # Init
 # ---------------------------------------------------------------------------
 
-def _stack_steps(key: jax.Array, k: int, channels: int, width: int) -> Params:
-    keys = jax.random.split(key, k)
-    steps = [bj.init_step(keys[i], channels, width) for i in range(k)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
+def _stack_steps(rng, k: int, channels: int, width: int) -> Params:
+    """Init K steps and stack their params on the leading axis.  Entirely
+    host-side numpy: one bulk device transfer happens on the first jit call
+    (per-leaf device init over a tunneled TPU costs seconds per op)."""
+    import numpy as np
+
+    steps = [bj.init_step(rng, channels, width) for _ in range(k)]
+    return jax.tree.map(lambda *xs: np.stack(xs), *steps)
 
 
 def init_glow(key: jax.Array, cfg: GlowConfig) -> Params:
@@ -86,16 +90,16 @@ def init_glow(key: jax.Array, cfg: GlowConfig) -> Params:
        {"blocks": (L-1 dicts {"steps": stacked, "split": split}),
         "final_steps": stacked}
     """
-    keys = jax.random.split(key, cfg.levels)
+    rng = bj.as_host_rng(key)  # ONE device->host conversion for the whole build
     blocks = []
     for i in range(cfg.levels - 1):
         flow_channels = 4 * (2 ** i) * cfg.in_channels
         blocks.append({
-            "steps": _stack_steps(keys[i], cfg.steps, flow_channels, cfg.coupling_width),
+            "steps": _stack_steps(rng, cfg.steps, flow_channels, cfg.coupling_width),
             "split": bj.init_split(flow_channels, cfg.learn_prior),
         })
     final_channels = (2 ** (cfg.levels + 1)) * cfg.in_channels
-    final_steps = _stack_steps(keys[-1], cfg.steps, final_channels, cfg.coupling_width)
+    final_steps = _stack_steps(rng, cfg.steps, final_channels, cfg.coupling_width)
     return {"blocks": tuple(blocks), "final_steps": final_steps}
 
 

@@ -30,8 +30,8 @@ def init_gaussian_prior(channels: int, learn: bool = True) -> Params:
     if not learn:
         return {}
     return {
-        "bias": jnp.zeros((2 * channels,), jnp.float32),
-        "logs": jnp.zeros((2 * channels,), jnp.float32),
+        "bias": np.zeros((2 * channels,), np.float32),
+        "logs": np.zeros((2 * channels,), np.float32),
     }
 
 

@@ -52,6 +52,27 @@ _EPS_ACTNORM_INIT = 1e-6  # matches transforms.py:76
 _EPS_COUPLING = 1e-6      # matches transforms.py:184,199
 
 
+def as_host_rng(key_or_rng) -> np.random.Generator:
+    """Normalize a jax PRNG key (or a numpy Generator) to a host Generator.
+
+    All parameter init is host-side numpy: over a tunneled TPU every device
+    op at build time is a multi-second round trip, so init touches the
+    device exactly zero times. Determinism: the generator is seeded from the
+    key's raw data.
+    """
+    if isinstance(key_or_rng, np.random.Generator):
+        return key_or_rng
+    if isinstance(key_or_rng, (int, np.integer)):
+        # Preferred on TPU: an int seed never touches the device (over a
+        # tunneled chip even an 8-byte device->host read is a slow RPC).
+        return np.random.default_rng(np.random.SeedSequence(int(key_or_rng)))
+    try:  # old-style uint32 key arrays: plain transfer, no device compute
+        data = np.asarray(key_or_rng).ravel()
+    except TypeError:  # new-style typed keys need the unwrap op
+        data = np.asarray(jax.random.key_data(key_or_rng)).ravel()
+    return np.random.default_rng(np.random.SeedSequence(entropy=[int(x) for x in data]))
+
+
 # ---------------------------------------------------------------------------
 # ActNorm
 # ---------------------------------------------------------------------------
@@ -62,8 +83,8 @@ def init_actnorm(channels: int) -> Params:
     Mirrors `ActNorm.__init__` (/root/reference/normalizing_flow/transforms.py:42-54).
     """
     return {
-        "scale": jnp.zeros((channels,), jnp.float32),  # log-scale
-        "bias": jnp.zeros((channels,), jnp.float32),
+        "scale": np.zeros((channels,), np.float32),  # log-scale (host-side init)
+        "bias": np.zeros((channels,), np.float32),
     }
 
 
@@ -105,7 +126,7 @@ def actnorm_ddinit(params: Params, x: jax.Array) -> Tuple[Params, jax.Array]:
 # Invertible 1x1 convolution, PLU-parameterized
 # ---------------------------------------------------------------------------
 
-def init_invconv(key: jax.Array, channels: int) -> Params:
+def init_invconv(key, channels: int) -> Params:
     """Random-orthogonal init (QR of a Gaussian, matching transforms.py:112-114)
     followed by a PLU decomposition.
 
@@ -115,7 +136,8 @@ def init_invconv(key: jax.Array, channels: int) -> Params:
     training/optim.py): `p_mat` (the permutation matrix) and `sign`
     (diag-sign of U).
     """
-    w = jnp.linalg.qr(jax.random.normal(key, (channels, channels), jnp.float32))[0]
+    rng = as_host_rng(key)
+    w = np.linalg.qr(rng.normal(size=(channels, channels)))[0]
     return plu_from_weight(w)
 
 
@@ -132,11 +154,11 @@ def plu_from_weight(w: jax.Array) -> Params:
     # forward and frozen by the optimizer mask, training/optim.py) so the
     # whole params tree stays float-differentiable for jax.grad.
     return {
-        "p_mat": jnp.asarray(p, jnp.float32),
-        "lower": jnp.asarray(np.tril(l, -1), jnp.float32),
-        "upper": jnp.asarray(np.triu(u, 1), jnp.float32),
-        "log_s": jnp.asarray(np.log(np.abs(s)), jnp.float32),
-        "sign": jnp.asarray(np.sign(s), jnp.float32),
+        "p_mat": np.asarray(p, np.float32),
+        "lower": np.asarray(np.tril(l, -1), np.float32),
+        "upper": np.asarray(np.triu(u, 1), np.float32),
+        "log_s": np.asarray(np.log(np.abs(s)), np.float32),
+        "sign": np.asarray(np.sign(s), np.float32),
     }
 
 
@@ -191,13 +213,13 @@ def invconv_inverse(params: Params, y: jax.Array) -> jax.Array:
 # Affine coupling
 # ---------------------------------------------------------------------------
 
-def init_coupling(key: jax.Array, channels: int, width: int = 512) -> Params:
+def init_coupling(key, channels: int, width: int = 512) -> Params:
     """Coupling layer over `channels` (must be even): the net maps C/2 -> C.
 
     Mirrors `AffineCoupling.__init__` (transforms.py:162-164) with the
     3x3->1x1->3x3 coupling CNN of width 512 (utils.py:72-90).
     """
-    return {"net": init_coupling_net(key, channels // 2, width, channels)}
+    return {"net": init_coupling_net(as_host_rng(key), channels // 2, width, channels)}
 
 
 def coupling_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -342,12 +364,12 @@ def gaussian_sample(
 # One Glow step: actnorm -> 1x1 conv -> coupling (glow.py:12-63)
 # ---------------------------------------------------------------------------
 
-def init_step(key: jax.Array, channels: int, width: int = 512) -> Params:
-    k1, k2 = jax.random.split(key)
+def init_step(key, channels: int, width: int = 512) -> Params:
+    rng = as_host_rng(key)
     return {
         "actnorm": init_actnorm(channels),
-        "invconv": init_invconv(k1, channels),
-        "coupling": init_coupling(k2, channels, width),
+        "invconv": init_invconv(rng, channels),
+        "coupling": init_coupling(rng, channels, width),
     }
 
 

@@ -25,21 +25,25 @@ Params = Dict[str, Any]
 _EPS = 1e-6
 
 
-def _conv_init(key: jax.Array, k: int, cin: int, cout: int) -> jax.Array:
-    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Conv2d default."""
+import numpy as np
+
+
+def _conv_init(rng: np.random.Generator, k: int, cin: int, cout: int) -> np.ndarray:
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Conv2d default.
+    Host-side numpy draw; model build never touches the device."""
     bound = 1.0 / (cin * k * k) ** 0.5
-    return jax.random.uniform(key, (k, k, cin, cout), jnp.float32, -bound, bound)
+    return rng.uniform(-bound, bound, (k, k, cin, cout)).astype(np.float32)
 
 
 def init_coupling_net(
-    key: jax.Array, in_channels: int, width: int, out_channels: int
+    rng: np.random.Generator, in_channels: int, width: int, out_channels: int
 ) -> Params:
-    k1, k2 = jax.random.split(key)
+    k1 = k2 = rng
     return {
         "conv1": {"w": _conv_init(k1, 3, in_channels, width)},  # bias-free (utils.py:65)
-        "an1": {"scale": jnp.zeros((width,), jnp.float32), "bias": jnp.zeros((width,), jnp.float32)},
+        "an1": {"scale": np.zeros((width,), np.float32), "bias": np.zeros((width,), np.float32)},
         "conv2": {"w": _conv_init(k2, 1, width, width)},
-        "an2": {"scale": jnp.zeros((width,), jnp.float32), "bias": jnp.zeros((width,), jnp.float32)},
+        "an2": {"scale": np.zeros((width,), np.float32), "bias": np.zeros((width,), np.float32)},
         "zconv": init_zeroconv(width, out_channels, filter_size=3),
     }
 

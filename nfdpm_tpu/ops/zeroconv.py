@@ -34,10 +34,12 @@ def conv2d_nhwc(x: jax.Array, w: jax.Array, padding: int = 0) -> jax.Array:
 
 def init_zeroconv(in_channels: int, out_channels: int, filter_size: int = 3) -> Params:
     """All-zero weight/bias/logs (utils.py:37-40)."""
+    import numpy as np
+
     return {
-        "w": jnp.zeros((filter_size, filter_size, in_channels, out_channels), jnp.float32),
-        "b": jnp.zeros((out_channels,), jnp.float32),
-        "logs": jnp.zeros((out_channels,), jnp.float32),
+        "w": np.zeros((filter_size, filter_size, in_channels, out_channels), np.float32),
+        "b": np.zeros((out_channels,), np.float32),
+        "logs": np.zeros((out_channels,), np.float32),
     }
 
 

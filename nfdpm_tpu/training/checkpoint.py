@@ -1,0 +1,65 @@
+"""Orbax checkpointing of train-state PyTrees + architecture metadata.
+
+Replaces the reference's torch.save checkpoints
+(/root/reference/normalizing_flow/prior.py:102-115) and the separately
+pickled `architecture.pkl` (run_baseline_experiment.py:64-68):
+
+  * state tree: {"model": flow_params, "prior": prior_params,
+    "opt_state": ..., "current_iter": ...} — directory name
+    `model_{prefix}_{epoch:03d}` mirrors the reference filename scheme so
+    run dirs look familiar.
+  * `architecture.json` holds the hyperparams a later diffusion-prior run
+    needs to rebuild the flow (L, K, in_channels, img_size, ...).
+  * Unlike the reference, diffusion checkpoints register ALL sub-model
+    params in the tree (fixing the lost-UNet-weights bug of
+    diffusion_prior/model.py:100, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(run_dir: str) -> str:
+    d = os.path.join(run_dir, "checkpoints")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def save_architecture(run_dir: str, arch: Dict[str, Any]) -> None:
+    with open(os.path.join(run_dir, "architecture.json"), "w") as f:
+        json.dump(arch, f, indent=2)
+
+
+def load_architecture(run_dir: str) -> Dict[str, Any]:
+    with open(os.path.join(run_dir, "architecture.json")) as f:
+        return json.load(f)
+
+
+def save_state(run_dir: str, prefix: str, epoch: int, state: Any) -> str:
+    """Write `checkpoints/model_{prefix}_{epoch:03d}` (async-safe, atomic)."""
+    path = os.path.abspath(os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def restore_state(run_dir: str, prefix: str, epoch: int, template: Any) -> Any:
+    """Restore into the shape/dtype structure of `template`."""
+    path = os.path.abspath(os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)
+
+
+def latest_epoch(run_dir: str, prefix: str) -> Optional[int]:
+    d = _ckpt_dir(run_dir)
+    pat = re.compile(rf"model_{prefix}_(\d+)$")
+    epochs = [int(m.group(1)) for f in os.listdir(d) if (m := pat.match(f))]
+    return max(epochs) if epochs else None

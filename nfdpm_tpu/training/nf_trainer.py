@@ -1,0 +1,274 @@
+"""Normalizing-flow (Glow + Gaussian prior) training loop, TPU-first.
+
+Capability-parity re-design of /root/reference/normalizing_flow/trainer.py:
+
+  * ONE jitted, mesh-sharded `train_step` carries the whole hot path —
+    5-bit preprocess, uniform dequantization, flow forward, prior logp, BPD
+    loss, grads, value-clip(1)+global-norm-clip(1) (trainer.py:165-166),
+    adam update — donated state, so each step is a single XLA executable
+    with no host round-trips besides the metric scalar.
+  * Data parallelism: batches are sharded P("data") over the mesh;
+    gradients reduce automatically via jit-under-mesh (the reference is
+    single-device, SURVEY.md §2.9b).
+  * Data-dependent actnorm init is the explicit `glow.ddinit` pass on one
+    preprocessed+dequantized batch (trainer.py:138 semantics).
+  * Checkpoints: Orbax state trees every `save_checkpoint_freq` epochs plus
+    a final save (trainer.py:198-237); resume restores flow/prior/opt_state
+    and `current_iter` (trainer.py:111-122).
+  * Eval: `calculate_bpd` over a loader with single-sample dequantization
+    (trainer.py:21-55); FID/KID via metrics.evaluate_model per checkpoint
+    epoch and at the end (trainer.py:202-263).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import DatasetLoaders, Loader
+from ..models import glow as glow_m
+from ..models import prior as prior_m
+from ..ops import quantize as q
+from ..parallel import mesh as mesh_m
+from .checkpoint import restore_state, save_architecture, save_state
+from .optim import make_optimizer
+from .tracking import Tracker
+
+
+@dataclasses.dataclass(frozen=True)
+class NFTrainConfig:
+    epochs: int = 10
+    lr: float = 1e-3
+    optimizer: str = "adam"
+    n_bits: int = 5
+    temperature: float = 1.0
+    print_freq: int = 50
+    save_checkpoint_freq: int = 5
+    log_gen_images_per_iter: int = 2
+    n_samples_log: int = 8
+    compat_three_channel_bpd: bool = True  # reference n_pixel bug, SURVEY §2
+
+
+def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx):
+    """Build the jitted train step: (state, batch, base_key) -> (state, metrics).
+
+    The per-step dequantization key is folded from (base_key, state.step)
+    INSIDE the jit — over a tunneled TPU every host-side key op is a slow
+    RPC, so the hot loop performs zero device ops outside the step itself."""
+    n_bins = q.n_bins_of(tcfg.n_bits)
+
+    def loss_fn(params, batch, key):
+        x = q.preprocess(batch, tcfg.n_bits)
+        x = q.dequantize(key, x, tcfg.n_bits)
+        latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
+        logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
+        ll = ldj + logp
+        n_pixel = prior_m.n_pixels(
+            batch.shape[1], batch.shape[-1], tcfg.compat_three_channel_bpd
+        )
+        bpd = prior_m.bits_per_dim(ll, n_bins, n_pixel)
+        return bpd, ll
+
+    def train_step(state, batch, base_key):
+        step_key = jax.random.fold_in(base_key, state["step"])
+        (bpd, ll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, step_key
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, {"bpd": bpd, "ll_mean": jnp.mean(ll)}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig):
+    """Jitted per-batch eval: returns per-example BPD [B] (single-sample
+    dequantization, matching reference calculate_bpd)."""
+    n_bins = q.n_bins_of(tcfg.n_bits)
+
+    @jax.jit
+    def eval_step(params, batch, base_key, salt):
+        key = jax.random.fold_in(base_key, salt)
+        x = q.preprocess(batch, tcfg.n_bits)
+        x = q.dequantize(key, x, tcfg.n_bits)
+        latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
+        logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
+        ll = ldj + logp
+        n_pixel = prior_m.n_pixels(
+            batch.shape[1], batch.shape[-1], tcfg.compat_three_channel_bpd
+        )
+        return (np.log(n_bins) * n_pixel - ll) * (np.log2(np.e) / n_pixel)
+
+    return eval_step
+
+
+def make_sample_fn(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, img_size: int):
+    """Jitted sampler: prior sample -> Glow inverse (missing parts drawn from
+    split priors) -> 5-bit postprocess to uint8 (glow.py:230-246 semantics)."""
+    shapes = glow_m.latent_shapes_nhwc(cfg, img_size)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sample(params, key, n: int, temperature: float, salt=0):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, salt))
+        h, w, c = shapes[-1]
+        z_last = prior_m.gaussian_prior_sample(
+            params["prior"], k1, (n, h, w, c), temperature
+        )
+        x = glow_m.inverse(params["flow"], cfg, [z_last], key=k2, temperature=temperature)
+        return q.postprocess(x, tcfg.n_bits)
+
+    return sample
+
+
+def init_train_state(
+    key, cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx
+) -> Dict[str, Any]:
+    """`key` may be a jax PRNG key, an int seed (preferred on TPU — the
+    model build then never touches the device), or a numpy Generator."""
+    flow_params = glow_m.init_glow(key, cfg)
+    prior_params = prior_m.init_gaussian_prior(
+        (2 ** (cfg.levels + 1)) * cfg.in_channels, cfg.learn_prior
+    )
+    params = {"flow": flow_params, "prior": prior_params}
+    return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
+
+
+def calculate_bpd(eval_step, params, loader: Loader, key: jax.Array) -> float:
+    """Mean BPD over a loader (reference calculate_bpd, trainer.py:21-55),
+    with padded static-shape batches (pad examples masked out). The per-batch
+    key salt is a traced arg — no host-side key ops in the loop."""
+    total, count = 0.0, 0
+    for i, (imgs, _labels, n_valid) in enumerate(loader.padded_batches()):
+        bpds = eval_step(params, jnp.asarray(imgs), key, np.int32(i))
+        total += float(jnp.sum(bpds[:n_valid]))
+        count += n_valid
+    return total / max(count, 1)
+
+
+def train(
+    *,
+    cfg: glow_m.GlowConfig,
+    tcfg: NFTrainConfig,
+    loaders: DatasetLoaders,
+    run_dir: str,
+    logger,
+    seed: int = 42,
+    img_size: int = 32,
+    resume_dir: Optional[str] = None,
+    resume_epoch: Optional[int] = None,
+    evaluate_fn=None,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Full training driver. `evaluate_fn(sample_fn, params, epoch)` is an
+    optional hook for FID/KID evaluation (metrics engine)."""
+    key = jax.random.PRNGKey(seed)
+    tx = make_optimizer(tcfg.optimizer, tcfg.lr)
+    mesh = mesh or mesh_m.make_mesh()
+    tracker = Tracker(run_dir)
+
+    with mesh:
+        state = init_train_state(seed, cfg, tcfg, tx)
+        start_epoch, current_iter = 0, 0
+
+        if resume_dir is not None and resume_epoch is not None:
+            state = restore_state(resume_dir, "gaussian", resume_epoch, state)
+            start_epoch = resume_epoch
+            current_iter = int(state["step"])
+            logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
+        else:
+            # data-dependent actnorm init on one preprocessed batch
+            init_imgs, _ = next(iter(loaders.train))
+
+            @jax.jit
+            def _ddinit(p, b, k):
+                x0 = q.preprocess(b, tcfg.n_bits)
+                x0 = q.dequantize(jax.random.fold_in(k, 999), x0, tcfg.n_bits)
+                return glow_m.ddinit(p, cfg, x0)
+
+            flow_init = _ddinit(state["params"]["flow"], jnp.asarray(init_imgs), key)
+            params = {"flow": flow_init, "prior": state["params"]["prior"]}
+            state = {"params": params, "opt_state": tx.init(params), "step": state["step"]}
+            logger.info("Data-dependent actnorm initialization done")
+
+        save_architecture(
+            run_dir,
+            {
+                "L": cfg.levels,
+                "K": cfg.steps,
+                "in_channels": cfg.in_channels,
+                "img_size": img_size,
+                "coupling_width": cfg.coupling_width,
+                "learn_prior": cfg.learn_prior,
+                "n_bits": tcfg.n_bits,
+            },
+        )
+
+        train_step = make_train_step(cfg, tcfg, tx)
+        eval_step = make_eval_step(cfg, tcfg)
+        sample_fn = make_sample_fn(cfg, tcfg, img_size)
+
+        running, n_running, log_count = 0.0, 0, 0
+        for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
+            t0 = time.time()
+            for imgs, _labels in loaders.train:
+                batch = mesh_m.shard_batch(mesh, jnp.asarray(imgs))
+                state, metrics = train_step(state, batch, key)
+                current_iter += 1
+                running += float(metrics["bpd"])
+                n_running += 1
+
+                if current_iter % tcfg.print_freq == 0:
+                    avg = running / n_running
+                    tracker.track(avg, "bpd", step=current_iter, epoch=epoch,
+                                  context={"subset": "train"})
+                    logger.info(f"epoch {epoch} iter {current_iter}: bpd {avg:.4f}")
+                    running, n_running = 0.0, 0
+                    log_count += 1
+                    if (log_count % tcfg.log_gen_images_per_iter == 0) and epoch % 5 == 0:
+                        samples = sample_fn(state["params"], key,
+                                            tcfg.n_samples_log, tcfg.temperature,
+                                            np.int32(-current_iter))
+                        tracker.track_images(np.asarray(samples), "generated",
+                                             step=current_iter, epoch=epoch)
+
+            dt = time.time() - t0
+            logger.info(f"epoch {epoch} done in {dt:.1f}s "
+                        f"({len(loaders.train)/max(dt,1e-9):.2f} it/s)")
+
+            if epoch % tcfg.save_checkpoint_freq == 0:
+                if evaluate_fn is not None:
+                    evaluate_fn(sample_fn, state["params"], epoch)
+                save_state(run_dir, "gaussian", epoch, state)
+                samples = sample_fn(state["params"], key, 64, tcfg.temperature,
+                                    np.int32(epoch))
+                tracker.track_images(np.asarray(samples), "checkpoint_samples",
+                                     step=current_iter, epoch=epoch)
+
+        final_epoch = start_epoch + tcfg.epochs
+        save_state(run_dir, "gaussian", final_epoch, state)
+
+        results = {}
+        for fold, (split, loader) in enumerate(
+            (("test", loaders.test), ("train", loaders.eval))
+        ):
+            bpd = calculate_bpd(eval_step, state["params"], loader,
+                                jax.random.fold_in(key, 10_000 + fold))  # one-off fold
+            results[f"bpd_{split}"] = bpd
+            tracker.track(bpd, "bpd", epoch=final_epoch, context={"subset": split, "final": True})
+            logger.info(f"final {split} bpd: {bpd:.4f}")
+        if evaluate_fn is not None:
+            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch)
+
+        tracker.close()
+        return {"state": state, "results": results, "sample_fn": sample_fn}

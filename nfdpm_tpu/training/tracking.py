@@ -1,0 +1,94 @@
+"""Experiment tracking: scalars, images, texts.
+
+The reference tracks to Aim (/root/reference/normalizing_flow/trainer.py:127-130,
+SURVEY.md §5.5). Aim is not available in this environment, so the tracker
+writes an append-only JSONL metric stream plus PNG image grids — the same
+information channels (scalars with subset contexts, generated-image grids,
+final-stats text) in a dependency-free form. If `aim` IS importable it is
+used as an additional sink, preserving `aim up` dashboard compatibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class Tracker:
+    def __init__(self, run_dir: str, experiment: str = "") -> None:
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self._f = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        self._aim = None
+        try:  # optional Aim sink
+            import aim
+
+            self._aim = aim.Run(repo=os.path.join(run_dir, "..", "..", "aim"))
+            self._aim["experiment"] = experiment
+        except Exception:
+            self._aim = None
+
+    def track(
+        self,
+        value: Any,
+        name: str,
+        step: Optional[int] = None,
+        epoch: Optional[int] = None,
+        context: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        rec = {
+            "t": time.time(),
+            "name": name,
+            "value": float(value) if np.isscalar(value) or hasattr(value, "item") else value,
+            "step": step,
+            "epoch": epoch,
+            "context": context or {},
+        }
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._aim is not None:
+            try:
+                self._aim.track(value=value, name=name, step=step, epoch=epoch, context=context)
+            except Exception:
+                pass
+
+    def track_images(
+        self,
+        images: np.ndarray,
+        name: str = "generated",
+        step: Optional[int] = None,
+        epoch: Optional[int] = None,
+        context: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Save an 8-wide grid PNG (reference's aim image grid + PDF grid,
+        normalizing_flow/utils.py:213-241)."""
+        path = os.path.join(self.run_dir, "results", f"{name}_e{epoch or 0}_s{step or 0}.png")
+        save_image_grid(images, path)
+        self.track(path, name=f"{name}_path", step=step, epoch=epoch, context=context)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def save_image_grid(images: np.ndarray, path: str, nrow: int = 8, pad: int = 1) -> None:
+    """images: uint8 [N, H, W, C] -> single grid image on disk."""
+    from PIL import Image
+
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        # value_range (-0.5, 0.5) normalization like vutils.make_grid
+        images = np.clip((images + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    n, h, w, c = images.shape
+    ncol = min(nrow, n)
+    nrows = (n + ncol - 1) // ncol
+    grid = np.zeros((nrows * (h + pad) + pad, ncol * (w + pad) + pad, c), np.uint8)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y0, x0 = pad + r * (h + pad), pad + col * (w + pad)
+        grid[y0: y0 + h, x0: x0 + w] = images[i]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(grid.squeeze(-1) if c == 1 else grid).save(path)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Baseline NF experiment entry point (Glow + Gaussian prior).
+
+TPU-native counterpart of /root/reference/run_baseline_experiment.py:
+    python run_baseline_experiment.py data.name=MNIST model.architecture.L=3 ...
+
+Phases:
+  train — (optionally resumed) training with checkpoints, sampling, BPD and
+          FID/KID evaluation per checkpoint epoch + at the end.
+  eval  — load a checkpoint and run test/train BPD + metrics only
+          (run_baseline_experiment.py:104-151 semantics).
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+
+def main(argv):
+    cfg_path = os.path.join(os.path.dirname(__file__), "configs", "nf_base.yaml")
+    overrides = [a for a in argv if "=" in a]
+
+    from nfdpm_tpu.data.pipeline import read_dataset
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.parallel import mesh as mesh_m
+    from nfdpm_tpu.training import nf_trainer as nft
+    from nfdpm_tpu.training.checkpoint import restore_state
+    from nfdpm_tpu.training.optim import make_optimizer
+    from nfdpm_tpu.utils.config import load_config, make_run_dir, parse_metric
+    from nfdpm_tpu.utils.env import log_environment, set_seeds, setup_logger
+
+    cfg = load_config(cfg_path, overrides)
+    run_dir = make_run_dir(cfg)
+    logger = setup_logger("base", os.path.join(run_dir, "train.log"))
+    logger.info("Configuration:\n" + cfg.to_yaml())
+    log_environment(logger)
+    set_seeds(int(cfg.seed))
+
+    arch = cfg.model.architecture
+    gcfg = glow_m.GlowConfig(
+        in_channels=1 if cfg.data.name == "MNIST" else 3,
+        levels=int(arch.L),
+        steps=int(arch.K),
+        coupling_width=int(arch.get("coupling_width", 512)),
+        learn_prior=bool(arch.learn_prior_mean_logs),
+    )
+    tr = cfg.model.training
+    tcfg = nft.NFTrainConfig(
+        epochs=int(tr.epochs),
+        lr=float(cfg.model.optimizer.lr),
+        optimizer=cfg.model.optimizer.type,
+        n_bits=int(tr.n_bits),
+        temperature=float(tr.temperature),
+        print_freq=int(tr.print_freq),
+        save_checkpoint_freq=int(tr.save_checkpoint_freq),
+        log_gen_images_per_iter=int(cfg.model.logging.log_gen_images_per_iter),
+    )
+
+    loaders = read_dataset(
+        cfg.data.name,
+        cfg.data.root,
+        digits=cfg.data.digits,
+        batch_size=int(cfg.data.batch_size),
+        img_size=int(cfg.data.img_size),
+        transformations=list(cfg.data.transformations or []),
+        seed=int(cfg.seed),
+        synthetic_fallback=bool(cfg.data.get("synthetic_fallback", False)),
+    )
+
+    fid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.FID"))
+    kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
+    evaluate_fn = None
+    if fid_cfgs or kid_cfgs:
+        from nfdpm_tpu.metrics.compute import make_nf_evaluate_fn
+
+        evaluate_fn = make_nf_evaluate_fn(
+            data_name=cfg.data.name,
+            loaders=loaders,
+            fid_configs=fid_cfgs,
+            kid_configs=kid_cfgs,
+            img_size=int(cfg.data.img_size),
+            temperature=float(tr.temperature),
+            logger=logger,
+        )
+
+    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    resume_dir = cfg.load.load_exp_dir
+    resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
+    if resume_dir:
+        resume_dir = os.path.join("outputs", resume_dir)
+
+    if cfg.phase == "train":
+        out = nft.train(
+            cfg=gcfg, tcfg=tcfg, loaders=loaders, run_dir=run_dir, logger=logger,
+            seed=int(cfg.seed), img_size=int(cfg.data.img_size),
+            resume_dir=resume_dir, resume_epoch=resume_epoch,
+            evaluate_fn=evaluate_fn, mesh=mesh,
+        )
+        logger.info(f"Training done: {out['results']}")
+    elif cfg.phase == "eval":
+        if not resume_dir:
+            raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
+        tx = make_optimizer(tcfg.optimizer, tcfg.lr)
+        template = nft.init_train_state(jax.random.PRNGKey(0), gcfg, tcfg, tx)
+        state = restore_state(resume_dir, "gaussian", resume_epoch, template)
+        eval_step = nft.make_eval_step(gcfg, tcfg)
+        sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size))
+        for fold, (split, loader) in enumerate(
+            (("test", loaders.test), ("train", loaders.eval))
+        ):
+            bpd = nft.calculate_bpd(eval_step, state["params"], loader,
+                                    jax.random.fold_in(jax.random.PRNGKey(int(cfg.seed)), fold))
+            logger.info(f"{split} bpd: {bpd:.4f}")
+        if evaluate_fn is not None:
+            evaluate_fn(sample_fn, state["params"], resume_epoch)
+    else:
+        raise ValueError(f"Unknown phase: {cfg.phase}")
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    main(sys.argv[1:])
+    print(f"Experiment duration: {time.time() - t0:.1f}s")

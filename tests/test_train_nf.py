@@ -1,0 +1,91 @@
+"""End-to-end NF training smoke tests on synthetic data (CPU, 8 virtual
+devices): loss decreases, checkpoints round-trip, sampling works, and the
+data-parallel mesh produces the same loss as single-device."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfdpm_tpu.data.pipeline import read_dataset
+from nfdpm_tpu.models import glow as glow_m
+from nfdpm_tpu.parallel import mesh as mesh_m
+from nfdpm_tpu.training import nf_trainer as nft
+from nfdpm_tpu.training.optim import make_optimizer
+from nfdpm_tpu.utils.env import setup_logger
+
+CFG = glow_m.GlowConfig(in_channels=3, levels=2, steps=2, coupling_width=32)
+TCFG = nft.NFTrainConfig(epochs=1, lr=1e-3, print_freq=100, save_checkpoint_freq=50)
+
+
+def test_train_step_descends(tmp_path):
+    loaders = read_dataset("synthetic", root="", batch_size=16, img_size=8,
+                           synthetic_fallback=True, synthetic_n=64)
+    tx = make_optimizer("adam", 1e-3)
+    key = jax.random.PRNGKey(0)
+    state = nft.init_train_state(key, CFG, TCFG, tx)
+    train_step = nft.make_train_step(CFG, TCFG, tx)
+    imgs, _ = next(iter(loaders.train))
+    batch = jnp.asarray(imgs)
+    losses = []
+    for i in range(12):
+        state, m = train_step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(m["bpd"]))
+    assert losses[-1] < losses[0], f"bpd did not decrease: {losses[0]} -> {losses[-1]}"
+    assert np.isfinite(losses).all()
+
+
+def test_full_train_loop_and_checkpoint(tmp_path):
+    loaders = read_dataset("synthetic", root="", batch_size=16, img_size=8,
+                           synthetic_fallback=True, synthetic_n=64)
+    logger = setup_logger("test_nf")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir, exist_ok=True)
+    out = nft.train(cfg=CFG, tcfg=TCFG, loaders=loaders, run_dir=run_dir,
+                    logger=logger, img_size=8)
+    assert np.isfinite(out["results"]["bpd_test"])
+
+    # resume restores exactly
+    from nfdpm_tpu.training.checkpoint import restore_state
+
+    tx = make_optimizer("adam", 1e-3)
+    template = nft.init_train_state(jax.random.PRNGKey(0), CFG, TCFG, tx)
+    restored = restore_state(run_dir, "gaussian", 1, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        restored["params"], out["state"]["params"],
+    )
+
+    # sampling from the trained model produces valid uint8 images
+    sample_fn = out["sample_fn"]
+    samples = sample_fn(out["state"]["params"], jax.random.PRNGKey(7), 4, 0.7)
+    assert samples.shape == (4, 8, 8, 3)
+    assert samples.dtype == jnp.uint8
+
+
+def test_data_parallel_matches_single_device():
+    """Same params+batch+key => same loss and grads whether the batch lives
+    on 1 device or is sharded over 8 (SURVEY.md §7 step 4)."""
+    tx = make_optimizer("adam", 1e-3)
+    key = jax.random.PRNGKey(0)
+    state = nft.init_train_state(key, CFG, TCFG, tx)
+    train_step = nft.make_train_step(CFG, TCFG, tx)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3))
+
+    s1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key)
+
+    mesh = mesh_m.make_mesh()
+    assert mesh.shape["data"] == 8
+    with mesh:
+        sharded = mesh_m.shard_batch(mesh, batch)
+        s8, m8 = train_step(jax.tree.map(jnp.copy, state), sharded, key)
+
+    np.testing.assert_allclose(float(m1["bpd"]), float(m8["bpd"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        s1["params"], s8["params"],
+    )
