@@ -1,0 +1,312 @@
+"""DDPM UNet, NHWC flax.linen re-design.
+
+Capability parity with the reference's lucidrains-derived UNet
+(/root/reference/diffusion_prior/gaussian_diffusion.py:363-490): 7x7 init
+conv, sinusoidal or random/learned-Fourier time embedding, down path of
+[ResnetBlock x2 + LinearAttention + Downsample], full-softmax mid attention,
+mirrored up path with skip concats, final res-block + 1x1 conv. Blocks use
+weight-standardized convs + GroupNorm + SiLU with FiLM time conditioning.
+
+TPU-native choices:
+  * NHWC layout, HWIO kernels (reference is NCHW).
+  * Downsample is the same channel-ordered space-to-depth as the flow's
+    squeeze (gaussian_diffusion.py:176-179) — implemented as reshapes that
+    XLA folds into the following 1x1 conv.
+  * Attention shapes are [B, heads, HW, dim_head] so QK^T / AV both hit the
+    MXU as batched matmuls.
+  * Weight standardization is computed over the HWIO kernel at apply time
+    (fp32), fused by XLA into the conv.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class WeightStandardizedConv(nn.Module):
+    """Conv whose kernel is standardized per output channel
+    (gaussian_diffusion.py:183-197; eps 1e-5 in fp32)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        eps = 1e-5
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1),
+            [(self.padding, self.padding), (self.padding, self.padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
+class ChannelLayerNorm(nn.Module):
+    """Biasless channel LayerNorm with learned gain (gaussian_diffusion.py:200-209,
+    biased variance)."""
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],))
+        eps = 1e-5
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * g
+
+
+class SinusoidalPosEmb(nn.Module):
+    """(gaussian_diffusion.py:225-237)"""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        emb = math.log(10000.0) / (half - 1)
+        emb = jnp.exp(jnp.arange(half) * -emb)
+        emb = t[:, None].astype(jnp.float32) * emb[None, :]
+        return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """Fourier features, learned unless `random` (gaussian_diffusion.py:240-255).
+    Output dim: `dim + 1` (raw t is concatenated)."""
+
+    dim: int
+    random: bool = False
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        w = self.param("weights", nn.initializers.normal(1.0), (half,))
+        if self.random:
+            w = jax.lax.stop_gradient(w)
+        t = t[:, None].astype(jnp.float32)
+        freqs = t * w[None, :] * 2 * math.pi
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class Block(nn.Module):
+    """WSConv -> GroupNorm -> (FiLM) -> SiLU (gaussian_diffusion.py:260-276)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = WeightStandardizedConv(self.dim_out, (3, 3), padding=1)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """(gaussian_diffusion.py:279-302)"""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if time_emb is not None:
+            h_t = nn.Dense(self.dim_out * 2)(nn.silu(time_emb))
+            h_t = h_t[:, None, None, :]
+            scale_shift = jnp.split(h_t, 2, axis=-1)
+        h = Block(self.dim_out, self.groups)(x, scale_shift)
+        h = Block(self.dim_out, self.groups)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1))(x)
+        return h + x
+
+
+def _to_heads(t, heads):
+    """[B, H, W, heads*dh] -> [B, heads, H*W, dh]"""
+    b, h, w, c = t.shape
+    t = t.reshape(b, h * w, heads, c // heads)
+    return t.transpose(0, 2, 1, 3)
+
+
+class LinearAttention(nn.Module):
+    """Softmax-kernel linear attention (gaussian_diffusion.py:305-333):
+    q softmax over channel dim, k softmax over sequence dim; O(N d^2)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _to_heads(q, self.heads)  # [B, heads, N, dh]
+        k = _to_heads(k, self.heads)
+        v = _to_heads(v, self.heads)
+
+        q = jax.nn.softmax(q, axis=-1)   # over dh (ref: dim=-2 on [b h c n])
+        k = jax.nn.softmax(k, axis=-2)   # over N  (ref: dim=-1)
+        q = q * (self.dim_head ** -0.5)
+        v = v / (h * w)
+
+        # context[d, e] = sum_n k[n, d] v[n, e]
+        context = jnp.einsum("bhnd,bhne->bhde", k, v)
+        out = jnp.einsum("bhde,bhnd->bhne", context, q)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
+        out = nn.Conv(c, (1, 1))(out)
+        return ChannelLayerNorm()(out)
+
+
+class Attention(nn.Module):
+    """Full softmax attention (gaussian_diffusion.py:336-358)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _to_heads(q, self.heads) * (self.dim_head ** -0.5)
+        k = _to_heads(k, self.heads)
+        v = _to_heads(v, self.heads)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
+        return nn.Conv(c, (1, 1))(out)
+
+
+class PreNormResidual(nn.Module):
+    """x + fn(LN(x)) (gaussian_diffusion.py:212-220, 238)."""
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return x + self.fn(ChannelLayerNorm()(x))
+
+
+def _space_to_depth(x):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // 2, w // 2, c * 4)
+
+
+class Downsample(nn.Module):
+    """space-to-depth + 1x1 conv (gaussian_diffusion.py:176-179)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim_out, (1, 1))(_space_to_depth(x))
+
+
+class Upsample(nn.Module):
+    """nearest 2x + 3x3 conv (gaussian_diffusion.py:169-173)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.dim_out, (3, 3), padding=1)(x)
+
+
+class Unet(nn.Module):
+    """Full UNet (gaussian_diffusion.py:363-490). Input/output [B, H, W, C]."""
+
+    dim: int
+    init_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 3
+    self_condition: bool = False
+    resnet_block_groups: int = 8
+    learned_variance: bool = False
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
+
+    @property
+    def effective_out_dim(self) -> int:
+        default = self.channels * (2 if self.learned_variance else 1)
+        return self.out_dim or default
+
+    @nn.compact
+    def __call__(self, x, time, x_self_cond=None):
+        if self.self_condition:
+            if x_self_cond is None:
+                x_self_cond = jnp.zeros_like(x)
+            x = jnp.concatenate([x_self_cond, x], axis=-1)
+
+        init_dim = self.init_dim or self.dim
+        x = nn.Conv(init_dim, (7, 7), padding=3)(x)
+        r = x
+
+        # time embedding
+        time_dim = self.dim * 4
+        if self.learned_sinusoidal_cond or self.random_fourier_features:
+            emb = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim, self.random_fourier_features
+            )(time)
+        else:
+            emb = SinusoidalPosEmb(self.dim)(time)
+        t = nn.Dense(time_dim)(emb)
+        t = nn.Dense(time_dim)(nn.gelu(t))
+
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        groups = self.resnet_block_groups
+
+        hs = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= len(in_out) - 1
+            x = ResnetBlock(dim_in, groups)(x, t)
+            hs.append(x)
+            x = ResnetBlock(dim_in, groups)(x, t)
+            x = PreNormResidual(LinearAttention())(x)
+            hs.append(x)
+            x = (nn.Conv(dim_out, (3, 3), padding=1)(x) if is_last
+                 else Downsample(dim_out)(x))
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, groups)(x, t)
+        x = PreNormResidual(Attention())(x)
+        x = ResnetBlock(mid_dim, groups)(x, t)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind == len(in_out) - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_out, groups)(x, t)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_out, groups)(x, t)
+            x = PreNormResidual(LinearAttention())(x)
+            x = (nn.Conv(dim_in, (3, 3), padding=1)(x) if is_last
+                 else Upsample(dim_in)(x))
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, groups)(x, t)
+        return nn.Conv(self.effective_out_dim, (1, 1))(x)

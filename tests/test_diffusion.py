@@ -1,0 +1,156 @@
+"""DDPM stack tests: schedule constants vs closed form, q_sample/posterior
+identities, objective conversions, UNet shapes, scan samplers, VLB terms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfdpm_tpu.models import diffusion as gd
+from nfdpm_tpu.models.unet import Unet
+
+T = 20
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    """Tiny UNet + diffusion for fast CPU tests."""
+    unet = Unet(dim=8, dim_mults=(1, 2), channels=3, resnet_block_groups=2)
+    x = jnp.zeros((2, 8, 8, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    variables = unet.init(jax.random.PRNGKey(0), x, t, None)
+
+    def apply_fn(params, x, t, sc):
+        return unet.apply({"params": params}, x, t, sc)
+
+    cfg = gd.DiffusionConfig(
+        image_size=8, channels=3, timesteps=T, sampling_timesteps=5,
+        loss_type="l2", beta_schedule="cosine", ddim_sampling_eta=1.0,
+        auto_normalize=False,
+    )
+    diff = gd.GaussianDiffusion(apply_fn, cfg)
+    return diff, variables["params"]
+
+
+class TestSchedules:
+    def test_cosine_matches_closed_form(self):
+        s = gd.make_schedule("cosine", 1000)
+        # ᾱ_t should track cos^2 curve: ᾱ monotone decreasing in (0, 1]
+        ac = s.alphas_cumprod
+        assert np.all(np.diff(ac) < 0)
+        assert 0 < ac[-1] < ac[0] <= 1.0
+        np.testing.assert_allclose(
+            np.cumprod(1 - np.float64(s.betas)), ac, rtol=2e-3
+        )
+
+    def test_linear_range(self):
+        s = gd.make_schedule("linear", 1000)
+        np.testing.assert_allclose(s.betas[0], 1e-4, rtol=1e-5)
+        np.testing.assert_allclose(s.betas[-1], 0.02, rtol=1e-5)
+
+    def test_sigmoid_valid(self):
+        s = gd.make_schedule("sigmoid", 100)
+        assert np.all(s.betas >= 0) and np.all(s.betas <= 0.999)
+
+    def test_posterior_coeffs_identity(self):
+        """posterior mean of (x0=x, xt=x) at any t equals x when coef1+coef2=1
+        — verify coef identity numerically."""
+        s = gd.make_schedule("linear", 50)
+        a = 1 - np.float64(s.betas)
+        ac, acp = np.float64(s.alphas_cumprod), np.float64(s.alphas_cumprod_prev)
+        c1 = s.betas * np.sqrt(acp) / (1 - ac)
+        c2 = (1 - acp) * np.sqrt(a) / (1 - ac)
+        np.testing.assert_allclose(s.posterior_mean_coef1, c1, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(s.posterior_mean_coef2, c2, rtol=1e-3, atol=1e-6)
+
+    def test_p2_weight_default_is_one(self):
+        s = gd.make_schedule("cosine", 100, p2_gamma=0.0)
+        np.testing.assert_allclose(s.p2_loss_weight, 1.0)
+
+
+class TestQProcess:
+    def test_q_sample_roundtrip_noise(self, tiny):
+        diff, _ = tiny
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+        noise = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+        t = jnp.array([3, 15])
+        x_t = diff.q_sample(x0, t, noise)
+        x0_rec = diff.predict_start_from_noise(x_t, t, noise)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+    def test_v_objective_consistency(self, tiny):
+        diff, _ = tiny
+        x0 = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+        noise = jax.random.normal(jax.random.PRNGKey(4), x0.shape)
+        t = jnp.array([5, 10])
+        x_t = diff.q_sample(x0, t, noise)
+        v = diff.predict_v(x0, t, noise)
+        x0_rec = diff.predict_start_from_v(x_t, t, v)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+    def test_normal_kl_zero_when_equal(self):
+        m = jnp.ones((2, 3))
+        lv = jnp.zeros((2, 3)) - 0.5
+        np.testing.assert_allclose(np.asarray(gd.normal_kl(m, lv, m, lv)), 0.0, atol=1e-7)
+
+
+class TestUnet:
+    def test_output_shape(self, tiny):
+        diff, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 3))
+        t = jnp.array([0, 7])
+        out = diff.model_apply(params, x, t, None)
+        assert out.shape == x.shape
+
+    def test_time_conditioning_changes_output(self, tiny):
+        diff, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 3))
+        o1 = diff.model_apply(params, x, jnp.array([0]), None)
+        o2 = diff.model_apply(params, x, jnp.array([T - 1]), None)
+        assert float(jnp.max(jnp.abs(o1 - o2))) > 1e-6
+
+
+class TestLossAndSampling:
+    def test_loss_finite_and_differentiable(self, tiny):
+        diff, params = tiny
+        x = jax.random.uniform(jax.random.PRNGKey(7), (2, 8, 8, 3))
+        loss, grads = jax.value_and_grad(
+            lambda p: diff.loss(p, jax.random.PRNGKey(8), x)
+        )(params)
+        assert np.isfinite(float(loss))
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0
+        )
+        assert gnorm > 0
+
+    def test_ancestral_sampler(self, tiny):
+        diff, params = tiny
+        out = jax.jit(lambda p, k: diff.p_sample_loop(p, k, (2, 8, 8, 3)))(
+            params, jax.random.PRNGKey(9)
+        )
+        assert out.shape == (2, 8, 8, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_ddim_sampler(self, tiny):
+        diff, params = tiny
+        assert diff.is_ddim_sampling
+        out = jax.jit(lambda p, k: diff.sample(p, k, 2))(params, jax.random.PRNGKey(10))
+        assert out.shape == (2, 8, 8, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_interpolate(self, tiny):
+        diff, params = tiny
+        x1 = jax.random.normal(jax.random.PRNGKey(11), (1, 8, 8, 3))
+        x2 = jax.random.normal(jax.random.PRNGKey(12), (1, 8, 8, 3))
+        out = diff.interpolate(params, jax.random.PRNGKey(13), x1, x2, t=5)
+        assert out.shape == x1.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_nll_finite(self, tiny):
+        diff, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(14), (2, 8, 8, 3)) * 0.1
+        nll = jax.jit(lambda p, k, x: diff.neg_log_likelihood(p, k, x))(
+            params, jax.random.PRNGKey(15), x
+        )
+        assert nll.shape == (2,)
+        assert np.all(np.isfinite(np.asarray(nll)))
