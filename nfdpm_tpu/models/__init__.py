@@ -1,3 +1,3 @@
-"""Model families: Glow flow, Gaussian/diffusion priors, DDPM UNet."""
+"""Model families: Glow flow, priors, DDPM UNet, diffusion prior, formaters."""
 
-from . import glow, prior  # noqa: F401
+from . import diffusion, diffusion_prior, formaters, glow, nf_backbone, prior, unet  # noqa: F401

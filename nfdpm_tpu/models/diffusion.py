@@ -368,6 +368,28 @@ class GaussianDiffusion:
         )
         return self.unnormalize(img)
 
+    def sample_given_start(self, params, key, x_start):
+        """Noise x_start to t=T-1 via q_sample, then run the full ancestral
+        chain back (reference DiffusionModel.sample_latent_given_start,
+        /root/reference/diffusion_prior/model.py:57-70)."""
+        shape = x_start.shape
+        k_q, k_loop = jax.random.split(key)
+        tb = jnp.full((shape[0],), self.num_timesteps - 1, jnp.int32)
+        img0 = self.q_sample(x_start, tb, jax.random.normal(k_q, shape))
+
+        def body(carry, t):
+            img, x_sc = carry
+            sc = x_sc if self.cfg.self_condition else None
+            ttb = jnp.full((shape[0],), t, jnp.int32)
+            mean, _, logvar, x0 = self.p_mean_variance(params, img, ttb, sc, True)
+            noise = jax.random.normal(jax.random.fold_in(k_loop, t), shape)
+            img = mean + jnp.where(t > 0, jnp.exp(0.5 * logvar), 0.0) * noise
+            return (img, x0), None
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts)
+        return self.unnormalize(img)
+
     def sample(self, params, key, batch_size: int = 16):
         shape = (batch_size, self.cfg.image_size, self.cfg.image_size, self.cfg.channels)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop

@@ -1,0 +1,252 @@
+"""Diffusion-prior training loop: NFBackbone + DiffusionPrior, TPU-first.
+
+Capability-parity re-design of /root/reference/diffusion_prior/trainer.py:
+
+  * ONE jitted train step: preprocess + dequantize -> flow transform (no
+    split-prior logp, trainer.py:136-139) -> formater -> per-part diffusion
+    losses summed (trainer.py:140-141) -> (+ 0.5 * flow-BPD term when the
+    flow is unfrozen, trainer.py:143-146) -> optimizer. NO grad clipping,
+    matching the reference's diffusion trainer.
+  * Two-LR param groups (diffusion lr vs flow lr, trainer.py:104-108) via
+    optax.multi_transform over the {"flow", "prior"} tree labels; when the
+    flow is frozen its params are stop-gradiented AND set_to_zero-masked.
+  * Checkpoints register ALL sub-model params (flow + every part's UNet) in
+    one state tree (fixing the reference's lost-UNet-weights bug,
+    model.py:100) — and unlike the reference (trainer.py:124) resume IS
+    supported.
+  * Sampling path: per-part diffusion sample -> formater.postprocess ->
+    flow invert -> uint8 (trainer.py:181-182, 210-211).
+  * Final eval: VLB-based BPD (fixing the reference's dead+buggy
+    `calculate_bpd_with_diff_prior` accumulator, trainer.py:45) + FID/KID.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pipeline import DatasetLoaders, Loader
+from ..models import glow as glow_m
+from ..models.diffusion_prior import DiffusionPrior
+from ..models.nf_backbone import NFBackbone
+from ..ops import quantize as q
+from ..parallel import mesh as mesh_m
+from .checkpoint import restore_state, save_state
+from .optim import trainable_mask
+from .tracking import Tracker
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionTrainConfig:
+    epochs: int = 10
+    lr_diffusion: float = 1e-3
+    lr_nf: Optional[float] = None      # used when the flow is unfrozen
+    optimizer: str = "adam"
+    n_bits: int = 5
+    temperature: float = 1.0
+    print_freq: int = 50
+    save_checkpoint_freq: int = 5
+    log_gen_images_per_iter: int = 20
+    n_samples_log: int = 8
+    nf_bpd_weight: float = 0.5         # trainer.py:145 weighting factor
+
+
+def make_two_group_optimizer(
+    tcfg: DiffusionTrainConfig, frozen: bool
+) -> optax.GradientTransformation:
+    """{'diffusion': lr_diffusion, 'flow': lr_nf or frozen-zero} groups
+    (reference param groups, trainer.py:104-108)."""
+    opt = optax.adam if tcfg.optimizer == "adam" else optax.adamw
+
+    def label_fn(params):
+        return {
+            "flow": jax.tree.map(lambda _: "flow", params["flow"]),
+            "diffusion": jax.tree.map(lambda _: "diffusion", params["diffusion"]),
+        }
+
+    flow_tx = (
+        optax.set_to_zero() if frozen or tcfg.lr_nf is None else opt(tcfg.lr_nf)
+    )
+    tx = optax.multi_transform(
+        {"diffusion": opt(tcfg.lr_diffusion), "flow": flow_tx}, label_fn
+    )
+    # freeze PLU constants inside the flow subtree as well
+    return optax.masked(tx, trainable_mask)
+
+
+def make_train_step(
+    backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig, tx
+):
+    n_pixel = float(backbone.img_size) ** 2 * 3.0  # reference n_pixel (3.0 hardcoded)
+
+    def loss_fn(params, batch, key):
+        k_dq, k_diff = jax.random.split(key)
+        x = q.preprocess(batch, tcfg.n_bits)
+        x = q.dequantize(k_dq, x, tcfg.n_bits)
+        latents, ldj = backbone.transform(params["flow"], x)
+        losses = dp.losses(params["diffusion"], k_diff, latents)
+        loss = sum(losses)
+        if not backbone.frozen:
+            nf_bpd = tcfg.nf_bpd_weight * jnp.mean(-ldj / (math.log(2.0) * n_pixel))
+            loss = loss + nf_bpd
+        return loss, jnp.stack(losses)
+
+    def train_step(state, batch, base_key):
+        step_key = jax.random.fold_in(base_key, state["step"])
+        (loss, part_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, step_key
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            {"loss": loss, "part_losses": part_losses},
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_sample_fn(backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig):
+    """diffusion latents -> flow inverse -> uint8 (trainer.py:181-182)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sample(params, key, n: int, temperature: float, salt=0):
+        key = jax.random.fold_in(key, salt)
+        k_diff, k_flow = jax.random.split(key)
+        latents = dp.sample_latents(params["diffusion"], k_diff, n)
+        x = backbone.invert(params["flow"], latents, k_flow, temperature)
+        return q.postprocess(x, tcfg.n_bits)
+
+    return sample
+
+
+def init_train_state(
+    seed: int, backbone: NFBackbone, flow_params, dp: DiffusionPrior, tx
+) -> Dict[str, Any]:
+    params = {"flow": flow_params, "diffusion": dp.init_params(seed)}
+    return {"params": params, "opt_state": tx.init(params),
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def calculate_bpd_with_diff_prior(
+    backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig,
+    params, loader: Loader, key, max_batches: Optional[int] = None,
+) -> float:
+    """Variational-bound BPD of flow + diffusion prior.
+
+    BPD = [log(n_bins)*n_pixel - (ldj - sum_part nll_nats)] * log2(e)/n_pixel
+    where the diffusion NLL replaces the Gaussian prior logp. Correctly
+    ACCUMULATES across batches (the reference version overwrote its
+    accumulator and was dead code, diffusion_prior/trainer.py:45,242-248)."""
+    n_bins = q.n_bins_of(tcfg.n_bits)
+    n_pixel = float(backbone.img_size) ** 2 * 3.0
+    bpd_const = np.log2(np.e) / n_pixel
+
+    @jax.jit
+    def batch_nll(params, batch, base_key, salt):
+        key = jax.random.fold_in(base_key, salt)
+        k_dq, k_nll = jax.random.split(key)
+        x = q.preprocess(batch, tcfg.n_bits)
+        x = q.dequantize(k_dq, x, tcfg.n_bits)
+        latents, ldj = backbone.transform(params["flow"], x)
+        per_dim_nlls = dp.evaluate_neg_log_likelihood(params["diffusion"], k_nll, latents)
+        shapes = [z.shape for z in latents]
+        prior_nll = sum(
+            nll * float(np.prod(s[1:])) for nll, s in zip(per_dim_nlls, shapes)
+        )
+        ll = ldj - prior_nll
+        return (np.log(n_bins) * n_pixel - ll) * bpd_const
+
+    total, count = 0.0, 0
+    for i, (imgs, _labels, n_valid) in enumerate(loader.padded_batches()):
+        if max_batches is not None and i >= max_batches:
+            break
+        bpds = batch_nll(params, jnp.asarray(imgs), key, np.int32(i))
+        total += float(jnp.sum(bpds[:n_valid]))
+        count += n_valid
+    return total / max(count, 1)
+
+
+def train(
+    *,
+    backbone: NFBackbone,
+    flow_params,
+    dp: DiffusionPrior,
+    tcfg: DiffusionTrainConfig,
+    loaders: DatasetLoaders,
+    run_dir: str,
+    logger,
+    seed: int = 42,
+    resume_dir: Optional[str] = None,
+    resume_epoch: Optional[int] = None,
+    evaluate_fn=None,
+    mesh=None,
+) -> Dict[str, Any]:
+    key = jax.random.PRNGKey(seed)
+    tx = make_two_group_optimizer(tcfg, backbone.frozen)
+    mesh = mesh or mesh_m.make_mesh()
+    tracker = Tracker(run_dir)
+    loss_name = dp.parts[0].cfg.loss_type + ("" if backbone.frozen else "_plus_bpd")
+
+    with mesh:
+        state = init_train_state(seed, backbone, flow_params, dp, tx)
+        start_epoch, current_iter = 0, 0
+        if resume_dir is not None and resume_epoch is not None:
+            state = restore_state(resume_dir, "diffusion", resume_epoch, state)
+            start_epoch, current_iter = resume_epoch, int(state["step"])
+            logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
+
+        train_step = make_train_step(backbone, dp, tcfg, tx)
+        sample_fn = make_sample_fn(backbone, dp, tcfg)
+
+        running, n_running, log_count = 0.0, 0, 0
+        for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
+            t0 = time.time()
+            for imgs, _labels in loaders.train:
+                batch = mesh_m.shard_batch(mesh, jnp.asarray(imgs))
+                state, metrics = train_step(state, batch, key)
+                current_iter += 1
+                running += float(metrics["loss"])
+                n_running += 1
+
+                if current_iter % tcfg.print_freq == 0:
+                    avg = running / n_running
+                    tracker.track(avg, loss_name, step=current_iter, epoch=epoch,
+                                  context={"subset": "train"})
+                    logger.info(f"epoch {epoch} iter {current_iter}: {loss_name} {avg:.4f}")
+                    running, n_running = 0.0, 0
+                    log_count += 1
+                    if log_count % tcfg.log_gen_images_per_iter == 0:
+                        samples = sample_fn(state["params"], key, tcfg.n_samples_log,
+                                            tcfg.temperature, np.int32(-current_iter))
+                        tracker.track_images(np.asarray(samples), "generated",
+                                             step=current_iter, epoch=epoch)
+
+            dt = time.time() - t0
+            logger.info(f"epoch {epoch} done in {dt:.1f}s")
+
+            if epoch % tcfg.save_checkpoint_freq == 0:
+                if evaluate_fn is not None:
+                    evaluate_fn(sample_fn, state["params"], epoch)
+                save_state(run_dir, "diffusion", epoch, state)
+                samples = sample_fn(state["params"], key, 64, tcfg.temperature,
+                                    np.int32(epoch))
+                tracker.track_images(np.asarray(samples), "checkpoint_samples",
+                                     step=current_iter, epoch=epoch)
+
+        final_epoch = start_epoch + tcfg.epochs
+        save_state(run_dir, "diffusion", final_epoch, state)
+
+        results = {}
+        if evaluate_fn is not None:
+            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch)
+        tracker.close()
+        return {"state": state, "results": results, "sample_fn": sample_fn}

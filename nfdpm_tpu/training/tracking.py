@@ -40,10 +40,12 @@ class Tracker:
         epoch: Optional[int] = None,
         context: Optional[Dict[str, Any]] = None,
     ) -> None:
+        if isinstance(value, (int, float, np.floating, np.integer)) or hasattr(value, "item"):
+            value = float(value)
         rec = {
             "t": time.time(),
             "name": name,
-            "value": float(value) if np.isscalar(value) or hasattr(value, "item") else value,
+            "value": value,
             "step": step,
             "epoch": epoch,
             "context": context or {},

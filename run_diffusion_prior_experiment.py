@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Diffusion-prior experiment entry point (NFBackbone + DiffusionPrior).
+
+TPU-native counterpart of /root/reference/run_diffusion_prior_experiment.py:
+    python run_diffusion_prior_experiment.py \
+        model.normalizing_flow.init_nf.pretrain.dir=glow_MNIST_2026-.. \
+        model.normalizing_flow.init_nf.pretrain.epoch=10 data.name=MNIST ...
+
+The flow is loaded from a baseline run's architecture.json + Orbax
+checkpoint (pretrain mode, reference :45-58) or built from scratch
+(:60-65); the diffusion prior gets one UNet+GaussianDiffusion per latent
+part defined by the chosen formater (:73-96).
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+
+def main(argv):
+    cfg_path = os.path.join(os.path.dirname(__file__), "configs", "nf_diffusion.yaml")
+    overrides = [a for a in argv if "=" in a]
+
+    from nfdpm_tpu.data.pipeline import read_dataset
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
+    from nfdpm_tpu.models.formaters import get_formater
+    from nfdpm_tpu.models.nf_backbone import NFBackbone, load_pretrained_flow
+    from nfdpm_tpu.parallel import mesh as mesh_m
+    from nfdpm_tpu.training import diffusion_trainer as dt
+    from nfdpm_tpu.utils.config import load_config, make_run_dir, parse_metric
+    from nfdpm_tpu.utils.env import log_environment, set_seeds, setup_logger
+
+    cfg = load_config(cfg_path, overrides)
+    run_dir = make_run_dir(cfg)
+    logger = setup_logger("base", os.path.join(run_dir, "train.log"))
+    logger.info("Configuration:\n" + cfg.to_yaml())
+    log_environment(logger)
+    set_seeds(int(cfg.seed))
+
+    nf_cfg = cfg.model.normalizing_flow
+    img_size = int(cfg.data.img_size)
+    in_channels = 1 if cfg.data.name == "MNIST" else 3
+    frozen = bool(nf_cfg.freeze)
+
+    if nf_cfg.init_nf.mode == "pretrain":
+        pretrain_dir = os.path.join("outputs", nf_cfg.init_nf.pretrain.dir)
+        backbone, flow_params = load_pretrained_flow(
+            pretrain_dir, int(nf_cfg.init_nf.pretrain.epoch), frozen
+        )
+        logger.info(f"Loaded pretrained flow from {pretrain_dir}")
+    else:
+        sc = nf_cfg.init_nf.scratch
+        gcfg = glow_m.GlowConfig(
+            in_channels=in_channels, levels=int(sc.L), steps=int(sc.K),
+            coupling_width=int(sc.get("coupling_width", 512)),
+        )
+        backbone = NFBackbone(cfg=gcfg, img_size=img_size, frozen=frozen)
+        flow_params = glow_m.init_glow(int(cfg.seed), gcfg)
+        logger.info("Initialized flow from scratch")
+
+    formater = get_formater(nf_cfg.latent_formater)(
+        L=backbone.cfg.levels, in_channels=backbone.cfg.in_channels,
+        size=backbone.img_size,
+    )
+    unet_kwargs = dict(
+        dim=int(cfg.model.unet.dim),
+        dim_mults=tuple(cfg.model.unet.dim_mults),
+        resnet_block_groups=int(cfg.model.unet.resnet_block_groups),
+        learned_sinusoidal_cond=bool(cfg.model.unet.learned_sinusoidal_cond),
+        random_fourier_features=bool(cfg.model.unet.random_fourier_features),
+        learned_sinusoidal_dim=int(cfg.model.unet.learned_sinusoidal_dim),
+    )
+    diffusion_kwargs = dict(
+        timesteps=int(cfg.model.diffusion.timesteps),
+        sampling_timesteps=int(cfg.model.diffusion.sampling_timesteps),
+        loss_type=cfg.model.diffusion.loss_type,
+        beta_schedule=cfg.model.diffusion.beta_schedule,
+        ddim_sampling_eta=float(cfg.model.diffusion.ddim_sampling_eta),
+    )
+    dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
+                        diffusion_kwargs=diffusion_kwargs)
+
+    tr = cfg.model.training
+    tcfg = dt.DiffusionTrainConfig(
+        epochs=int(tr.epochs),
+        lr_diffusion=float(cfg.model.optimizer.lr),
+        lr_nf=float(nf_cfg.lr) if nf_cfg.lr else None,
+        optimizer=cfg.model.optimizer.type,
+        n_bits=int(tr.n_bits),
+        temperature=float(tr.temperature),
+        print_freq=int(tr.print_freq),
+        save_checkpoint_freq=int(tr.save_checkpoint_freq),
+        log_gen_images_per_iter=int(cfg.model.logging.log_gen_images_per_iter),
+    )
+
+    loaders = read_dataset(
+        cfg.data.name, cfg.data.root, digits=cfg.data.digits,
+        batch_size=int(cfg.data.batch_size), img_size=img_size,
+        transformations=list(cfg.data.transformations or []),
+        seed=int(cfg.seed),
+        synthetic_fallback=bool(cfg.data.get("synthetic_fallback", False)),
+    )
+
+    fid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.FID"))
+    kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
+    evaluate_fn = None
+    if fid_cfgs or kid_cfgs:
+        from nfdpm_tpu.metrics.compute import make_nf_evaluate_fn
+
+        evaluate_fn = make_nf_evaluate_fn(
+            data_name=cfg.data.name, loaders=loaders, fid_configs=fid_cfgs,
+            kid_configs=kid_cfgs, img_size=img_size,
+            temperature=float(tr.temperature), logger=logger,
+        )
+
+    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    resume_dir = cfg.load.load_exp_dir
+    resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
+    if resume_dir:
+        resume_dir = os.path.join("outputs", resume_dir)
+
+    if cfg.phase == "train":
+        out = dt.train(
+            backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
+            loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),
+            resume_dir=resume_dir, resume_epoch=resume_epoch,
+            evaluate_fn=evaluate_fn, mesh=mesh,
+        )
+        bpd = dt.calculate_bpd_with_diff_prior(
+            backbone, dp, tcfg, out["state"]["params"], loaders.test,
+            jax.random.PRNGKey(int(cfg.seed)), max_batches=4,
+        )
+        logger.info(f"VLB test bpd (diffusion prior): {bpd:.4f}")
+    elif cfg.phase == "eval":
+        if not resume_dir:
+            raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
+        tx = dt.make_two_group_optimizer(tcfg, frozen)
+        template = dt.init_train_state(0, backbone, flow_params, dp, tx)
+        from nfdpm_tpu.training.checkpoint import restore_state
+
+        state = restore_state(resume_dir, "diffusion", resume_epoch, template)
+        sample_fn = dt.make_sample_fn(backbone, dp, tcfg)
+        bpd = dt.calculate_bpd_with_diff_prior(
+            backbone, dp, tcfg, state["params"], loaders.test,
+            jax.random.PRNGKey(int(cfg.seed)), max_batches=8,
+        )
+        logger.info(f"VLB test bpd (diffusion prior): {bpd:.4f}")
+        if evaluate_fn is not None:
+            evaluate_fn(sample_fn, state["params"], resume_epoch)
+    else:
+        raise ValueError(f"Unknown phase: {cfg.phase}")
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    main(sys.argv[1:])
+    print(f"Experiment duration: {time.time() - t0:.1f}s")

@@ -1,0 +1,172 @@
+"""Formater inverse-property tests (reference tests/formaters.py, fixed and
+extended per SURVEY.md §4) and diffusion-prior end-to-end smoke tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfdpm_tpu.models import glow as glow_m
+from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
+from nfdpm_tpu.models.formaters import CatFormater, IdentityFormater, get_formater
+from nfdpm_tpu.models.nf_backbone import NFBackbone
+
+
+def make_latents(key, shapes, batch=2):
+    keys = jax.random.split(key, len(shapes))
+    return [jax.random.normal(k, (batch, h, w, c)) for k, (h, w, c) in zip(keys, shapes)]
+
+
+class TestFormaters:
+    @pytest.mark.parametrize("L", [2, 3, 4, 5, 6, 7])
+    def test_cat_formater_exact_inverse(self, L):
+        """CatFormater.postprocess(process_latents(x)) == x for L in 2..7,
+        C=3, size=256 (the reference's own stale test intent,
+        tests/formaters.py:36-49)."""
+        f = CatFormater(L=L, in_channels=3, size=256)
+        latents = make_latents(jax.random.PRNGKey(L), f.latent_shapes)
+        processed = f.process_latents(latents)
+        assert len(processed) == 1
+        restored = f.postprocess(processed)
+        assert len(restored) == len(latents)
+        for a, b in zip(latents, restored):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_cat_formater_shapes(self):
+        f = CatFormater(L=3, in_channels=3, size=32)
+        # parts (16,16,6),(8,8,12),(4,4,48) -> target 8x8: 24+12+12 = 48ch
+        assert f.input_shapes == [(8, 8, 48)]
+        assert f.num_parts == 1
+
+    def test_identity_formater_passthrough(self):
+        f = IdentityFormater(L=3, in_channels=3, size=32)
+        latents = make_latents(jax.random.PRNGKey(0), f.latent_shapes)
+        out = f.process_latents(latents)
+        assert len(out) == 3
+        back = f.postprocess(out)
+        for a, b in zip(latents, back):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_registry(self):
+        assert get_formater("IdentityFormater") is IdentityFormater
+        assert get_formater("CatFormater") is CatFormater
+        with pytest.raises(ValueError):
+            get_formater("nope")
+
+
+GCFG = glow_m.GlowConfig(in_channels=3, levels=2, steps=1, coupling_width=16)
+UNET_KW = dict(dim=8, dim_mults=(1, 2), resnet_block_groups=2)
+DIFF_KW = dict(timesteps=8, sampling_timesteps=4, loss_type="l2",
+               beta_schedule="cosine", ddim_sampling_eta=1.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    backbone = NFBackbone(cfg=GCFG, img_size=8, frozen=True)
+    flow_params = glow_m.init_glow(0, GCFG)
+    formater = IdentityFormater(L=GCFG.levels, in_channels=GCFG.in_channels, size=8)
+    dp = DiffusionPrior(formater=formater, unet_kwargs=UNET_KW, diffusion_kwargs=DIFF_KW)
+    return backbone, flow_params, dp
+
+
+class TestDiffusionPrior:
+    def test_params_registered_per_part(self, setup):
+        _, _, dp = setup
+        params = dp.init_params(0)
+        assert len(params["parts"]) == dp.num_parts == 2
+        # every part's UNet weights are present in the checkpointable tree
+        n_leaves = len(jax.tree_util.tree_leaves(params))
+        assert n_leaves > 50
+
+    def test_losses_and_grads(self, setup):
+        backbone, flow_params, dp = setup
+        params = dp.init_params(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3)) - 0.5
+        latents, ldj = backbone.transform(flow_params, x)
+        losses = dp.losses(params, jax.random.PRNGKey(2), latents)
+        assert len(losses) == 2
+        assert all(np.isfinite(float(l)) for l in losses)
+
+        def total(p):
+            return sum(dp.losses(p, jax.random.PRNGKey(2), latents))
+
+        grads = jax.grad(total)(params)
+        gsum = jax.tree_util.tree_reduce(lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+        assert gsum > 0
+
+    def test_sample_latents_roundtrip_through_flow(self, setup):
+        backbone, flow_params, dp = setup
+        params = dp.init_params(0)
+        latents = dp.sample_latents(params, jax.random.PRNGKey(3), 2)
+        assert [z.shape[1:] for z in latents] == [
+            tuple(s) for s in backbone.latent_shapes
+        ]
+        img = backbone.invert(flow_params, latents)
+        assert img.shape == (2, 8, 8, 3)
+        assert np.all(np.isfinite(np.asarray(img)))
+
+    def test_frozen_backbone_blocks_flow_grads(self, setup):
+        backbone, flow_params, dp = setup
+        params = {"flow": flow_params, "diffusion": dp.init_params(0)}
+        x = jax.random.uniform(jax.random.PRNGKey(4), (2, 8, 8, 3)) - 0.5
+
+        def loss(p):
+            latents, _ = backbone.transform(p["flow"], x)
+            return sum(dp.losses(p["diffusion"], jax.random.PRNGKey(5), latents))
+
+        grads = jax.grad(loss)(params)
+        flow_gsum = jax.tree_util.tree_reduce(
+            lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads["flow"], 0.0
+        )
+        assert flow_gsum == 0.0
+
+    def test_nll_per_part(self, setup):
+        backbone, flow_params, dp = setup
+        x = jax.random.uniform(jax.random.PRNGKey(6), (2, 8, 8, 3)) - 0.5
+        latents, _ = backbone.transform(flow_params, x)
+        params = dp.init_params(0)
+        nlls = dp.evaluate_neg_log_likelihood(params, jax.random.PRNGKey(7), latents)
+        assert len(nlls) == 2
+        for nll in nlls:
+            assert nll.shape == (2,)
+            assert np.all(np.isfinite(np.asarray(nll)))
+
+
+class TestDiffusionTrainer:
+    def test_train_step_descends_and_flow_static(self, setup):
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        backbone, flow_params, dp = setup
+        tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-3, print_freq=100)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx)
+        flow_before = jax.tree.map(np.asarray, state["params"]["flow"])
+        step = dt.make_train_step(backbone, dp, tcfg, tx)
+        batch = jax.random.uniform(jax.random.PRNGKey(8), (4, 8, 8, 3))
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(8):
+            state, m = step(state, batch, key)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        # frozen flow params unchanged
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+            flow_before, state["params"]["flow"],
+        )
+
+    def test_bpd_with_diff_prior_accumulates(self, setup):
+        from nfdpm_tpu.data.pipeline import read_dataset
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        backbone, flow_params, dp = setup
+        tcfg = dt.DiffusionTrainConfig(epochs=1)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx)
+        loaders = read_dataset("synthetic", root="", batch_size=4, img_size=8,
+                               synthetic_fallback=True, synthetic_n=16)
+        bpd = dt.calculate_bpd_with_diff_prior(
+            backbone, dp, tcfg, state["params"], loaders.test,
+            jax.random.PRNGKey(1), max_batches=2,
+        )
+        assert np.isfinite(bpd)

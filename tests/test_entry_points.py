@@ -1,0 +1,69 @@
+"""Integration tests: both experiment CLIs end-to-end on synthetic data —
+NF baseline train -> architecture.json + checkpoint -> diffusion-prior
+train from the pretrained flow (the reference's two-stage workflow,
+README.md:36-343)."""
+
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, monkeypatch_module=None):
+    d = tmp_path_factory.mktemp("exp")
+    return str(d)
+
+
+def test_two_stage_workflow(workdir, monkeypatch):
+    monkeypatch.chdir(workdir)
+
+    import run_baseline_experiment as base_exp
+    import run_diffusion_prior_experiment as diff_exp
+
+    base_exp.main([
+        "experiment_name=nf_test",
+        "data.name=synthetic",
+        "data.synthetic_fallback=true",
+        "data.batch_size=8",
+        "data.img_size=8",
+        "model.architecture.L=2",
+        "model.architecture.K=1",
+        "model.architecture.coupling_width=16",
+        "model.training.epochs=1",
+        "model.training.save_checkpoint_freq=1",
+        "model.training.print_freq=4",
+    ])
+
+    runs = os.listdir(os.path.join(workdir, "outputs"))
+    nf_run = [r for r in runs if r.startswith("nf_test")][0]
+    ckpt_dir = os.path.join(workdir, "outputs", nf_run, "checkpoints")
+    assert os.path.exists(os.path.join(workdir, "outputs", nf_run, "architecture.json"))
+    assert any(f.startswith("model_gaussian_") for f in os.listdir(ckpt_dir))
+
+    diff_exp.main([
+        "experiment_name=diff_test",
+        "data.name=synthetic",
+        "data.synthetic_fallback=true",
+        "data.batch_size=8",
+        "data.img_size=8",
+        f"model.normalizing_flow.init_nf.pretrain.dir={nf_run}",
+        "model.normalizing_flow.init_nf.pretrain.epoch=1",
+        "model.unet.dim=8",
+        "model.unet.dim_mults=[1,2]",
+        "model.unet.resnet_block_groups=2",
+        "model.diffusion.timesteps=8",
+        "model.diffusion.sampling_timesteps=4",
+        "model.training.epochs=1",
+        "model.training.save_checkpoint_freq=1",
+    ])
+
+    runs = os.listdir(os.path.join(workdir, "outputs"))
+    diff_run = [r for r in runs if r.startswith("diff_test")][0]
+    ckpt_dir = os.path.join(workdir, "outputs", diff_run, "checkpoints")
+    assert any(f.startswith("model_diffusion_") for f in os.listdir(ckpt_dir))
+    # metrics stream was written
+    assert os.path.exists(os.path.join(workdir, "outputs", diff_run, "metrics.jsonl"))
