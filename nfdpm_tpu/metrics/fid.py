@@ -1,0 +1,172 @@
+"""FID / KID scoring: on-device features, host-side score math, stats store.
+
+Clean-fid-compatible pipeline (reference integration:
+/root/reference/metrics/compute.py):
+
+  * Feature extraction batches uint8 images through the JAX Inception-v3
+    (2048-d) or CLIP ViT-B/32 (512-d) extractors on device.
+  * Resize modes: "clean" = PIL bicubic (clean-fid's high-quality mode);
+    "legacy_tensorflow" = bilinear without antialias (TF1 semantics, the
+    mode the reference uses for most experiments).
+  * FID: Frechet distance with a host scipy sqrtm (the classic Heusel
+    formulation); KID: unbiased polynomial-kernel MMD averaged over
+    clean-fid's protocol of 100 subsets of size <=1000.
+  * Stats store: per-(dataset, mode, model, split, res) npz files holding
+    mu/sigma (FID) and raw features (KID), with skip-if-exists precompute
+    (reference precompute_statistics, compute.py:238-251).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_STATS_DIR = os.path.join(os.path.expanduser("~"), ".nfdpm_tpu", "stats")
+
+
+# ---------------------------------------------------------------------------
+# Resizing (clean-fid mode semantics)
+# ---------------------------------------------------------------------------
+
+def resize_batch(images: np.ndarray, size: int, mode: str) -> np.ndarray:
+    """uint8 [N, H, W, C] -> uint8-ish float [N, size, size, C].
+
+    clean: PIL bicubic (clean-fid "clean" mode). legacy_tensorflow: bilinear
+    without antialias (TF1 `tf.image.resize_bilinear` semantics, which
+    clean-fid reproduces for the legacy Inception graph)."""
+    if images.shape[1] == size and images.shape[2] == size:
+        return images.astype(np.float32)
+    if mode == "clean":
+        from PIL import Image
+
+        out = np.empty((len(images), size, size, images.shape[3]), np.float32)
+        for i, im in enumerate(images):
+            arr = im[..., 0] if im.shape[-1] == 1 else im
+            pil = Image.fromarray(arr.astype(np.uint8))
+            r = np.asarray(pil.resize((size, size), Image.BICUBIC), np.float32)
+            out[i] = r[..., None] if im.shape[-1] == 1 else r
+        return out
+    elif mode == "legacy_tensorflow":
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(images, jnp.float32)
+        y = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), "bilinear",
+                             antialias=False)
+        return np.asarray(y)
+    raise ValueError(f"Unknown resize mode: {mode}")
+
+
+def _to_rgb(images: np.ndarray) -> np.ndarray:
+    if images.shape[-1] == 1:
+        return np.repeat(images, 3, axis=-1)
+    return images
+
+
+def extract_features(
+    images: np.ndarray,
+    feature_fn: Callable,
+    size: int,
+    mode: str,
+    batch_size: int = 64,
+) -> np.ndarray:
+    """uint8 [N, H, W, C] -> [N, D] features (resize -> clip -> extractor)."""
+    import jax.numpy as jnp
+
+    feats = []
+    for i in range(0, len(images), batch_size):
+        chunk = _to_rgb(images[i: i + batch_size])
+        resized = np.clip(resize_batch(chunk, size, mode), 0, 255)
+        feats.append(np.asarray(feature_fn(jnp.asarray(resized.astype(np.uint8)))))
+    return np.concatenate(feats, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Score math
+# ---------------------------------------------------------------------------
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Classic FID: |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def feature_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(feats, axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def kid_score(
+    feats1: np.ndarray, feats2: np.ndarray,
+    num_subsets: int = 100, max_subset_size: int = 1000, seed: int = 0,
+) -> float:
+    """Unbiased MMD^2 with the polynomial kernel (x.y/d + 1)^3, averaged
+    over `num_subsets` random subsets (clean-fid's KID protocol)."""
+    n = feats1.shape[1]
+    m = min(min(feats1.shape[0], feats2.shape[0]), max_subset_size)
+    rng = np.random.default_rng(seed)
+    t = 0.0
+    for _ in range(num_subsets):
+        x = feats2[rng.choice(feats2.shape[0], m, replace=False)].astype(np.float64)
+        y = feats1[rng.choice(feats1.shape[0], m, replace=False)].astype(np.float64)
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.trace(a)) / (m - 1) - b.sum() * 2 / m
+    return float(t / num_subsets / m)
+
+
+# ---------------------------------------------------------------------------
+# Stats store
+# ---------------------------------------------------------------------------
+
+def stat_filename(name: str, mode: str, model_name: str, split: str, res: int) -> str:
+    """clean-fid naming convention: {name}_{mode}_{split}_{res}(_model).npz"""
+    model_tag = "" if model_name == "inception_v3" else f"_{model_name}"
+    return f"{name.lower()}_{mode}_{split}_{res}{model_tag}.npz"
+
+
+def save_stats(
+    feats: np.ndarray, name: str, mode: str, model_name: str, split: str, res: int,
+    stats_dir: str = DEFAULT_STATS_DIR,
+) -> str:
+    os.makedirs(stats_dir, exist_ok=True)
+    mu, sigma = feature_stats(feats)
+    path = os.path.join(stats_dir, stat_filename(name, mode, model_name, split, res))
+    np.savez_compressed(path, mu=mu, sigma=sigma, feats=feats.astype(np.float32))
+    return path
+
+
+def load_stats(
+    name: str, mode: str, model_name: str, split: str, res: int,
+    stats_dir: str = DEFAULT_STATS_DIR,
+):
+    path = os.path.join(stats_dir, stat_filename(name, mode, model_name, split, res))
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    return {"mu": d["mu"], "sigma": d["sigma"], "feats": d["feats"]}
+
+
+def stats_exist(name, mode, model_name, split, res, stats_dir=DEFAULT_STATS_DIR) -> bool:
+    return os.path.exists(
+        os.path.join(stats_dir, stat_filename(name, mode, model_name, split, res))
+    )
+
+
+def remove_all_stats(stats_dir: str = DEFAULT_STATS_DIR) -> None:
+    """`clean` action of the stats CLI (reference precompute_stats.py:12-17)."""
+    if os.path.isdir(stats_dir):
+        for f in os.listdir(stats_dir):
+            if f.endswith(".npz"):
+                os.remove(os.path.join(stats_dir, f))

@@ -1,0 +1,166 @@
+"""Metrics engine tests: FID/KID math sanity, stats store, Storage caching,
+SSIM/PSNR identities, feature extractors, full evaluate_model flow on
+synthetic data."""
+
+import numpy as np
+import pytest
+
+from nfdpm_tpu.metrics import compute as mc
+from nfdpm_tpu.metrics import fid as fid_m
+from nfdpm_tpu.metrics.image_quality import psnr, ssim
+
+
+class TestScoreMath:
+    def test_frechet_distance_zero_for_identical(self):
+        rng = np.random.default_rng(0)
+        f = rng.normal(size=(500, 16))
+        mu, sigma = fid_m.feature_stats(f)
+        d = fid_m.frechet_distance(mu, sigma, mu.copy(), sigma.copy())
+        assert abs(d) < 1e-6
+
+    def test_frechet_distance_mean_shift(self):
+        """For equal covariance, FID == |mu1 - mu2|^2."""
+        rng = np.random.default_rng(1)
+        f = rng.normal(size=(2000, 8))
+        mu, sigma = fid_m.feature_stats(f)
+        shift = np.ones(8) * 0.5
+        d = fid_m.frechet_distance(mu, sigma, mu + shift, sigma.copy())
+        np.testing.assert_allclose(d, np.sum(shift ** 2), rtol=1e-4)
+
+    def test_kid_zero_for_same_distribution(self):
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(600, 32))
+        b = rng.normal(size=(600, 32))
+        k_same = fid_m.kid_score(a, b, num_subsets=20, max_subset_size=200)
+        k_diff = fid_m.kid_score(a, b + 1.0, num_subsets=20, max_subset_size=200)
+        assert abs(k_same) < 0.05
+        assert k_diff > k_same + 0.1
+
+    def test_stats_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        f = rng.normal(size=(100, 8)).astype(np.float32)
+        fid_m.save_stats(f, "synthetic", "clean", "inception_v3", "test", 32,
+                         str(tmp_path))
+        assert fid_m.stats_exist("synthetic", "clean", "inception_v3", "test", 32,
+                                 str(tmp_path))
+        s = fid_m.load_stats("synthetic", "clean", "inception_v3", "test", 32,
+                             str(tmp_path))
+        np.testing.assert_allclose(s["feats"], f)
+        fid_m.remove_all_stats(str(tmp_path))
+        assert not fid_m.stats_exist("synthetic", "clean", "inception_v3", "test", 32,
+                                     str(tmp_path))
+
+
+class TestResize:
+    def test_modes_shape(self):
+        imgs = np.random.default_rng(0).integers(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+        for mode in ("clean", "legacy_tensorflow"):
+            out = fid_m.resize_batch(imgs, 32, mode)
+            assert out.shape == (3, 32, 32, 3)
+
+    def test_identity_when_same_size(self):
+        imgs = np.random.default_rng(0).integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+        np.testing.assert_allclose(fid_m.resize_batch(imgs, 8, "clean"), imgs)
+
+
+class TestImageQuality:
+    def test_ssim_identity(self):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3)),
+                        jnp.float32)
+        assert float(ssim(x, x, 255.0)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_decreases_with_noise(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3)), jnp.float32)
+        y = x + jnp.asarray(rng.normal(0, 25, x.shape), jnp.float32)
+        assert float(ssim(x, y, 255.0)) < 0.99
+
+    def test_psnr_known_value(self):
+        import jax.numpy as jnp
+
+        x = jnp.zeros((1, 8, 8, 1))
+        y = x + 10.0
+        # mse = 100 -> psnr = 10 log10(255^2/100)
+        np.testing.assert_allclose(
+            float(psnr(x, y, 255.0)), 10 * np.log10(255 ** 2 / 100), rtol=1e-5
+        )
+
+
+class TestStorage:
+    def test_cached_sampler_single_pass(self):
+        calls = []
+
+        def raw(n):
+            calls.append(n)
+            return np.full((n, 4, 4, 3), len(calls), np.uint8)
+
+        gen = mc.make_cached_sampler(raw)
+        a = gen(3)
+        b = gen(2)
+        assert len(calls) == 2
+        gen.storage.set_ready_for_usage()
+        a2 = gen(3)
+        b2 = gen(2)
+        assert len(calls) == 2  # replayed from cache
+        np.testing.assert_array_equal(a, a2)
+        np.testing.assert_array_equal(b, b2)
+
+
+class TestFeatureExtractors:
+    def test_inception_features_shape(self):
+        fn = mc.get_feature_extractor("inception_v3")
+        imgs = np.random.default_rng(0).integers(0, 256, (2, 299, 299, 3)).astype(np.uint8)
+        import jax.numpy as jnp
+
+        f = np.asarray(fn(jnp.asarray(imgs)))
+        assert f.shape == (2, 2048)
+        assert np.all(np.isfinite(f))
+
+    def test_clip_features_shape_and_norm(self):
+        fn = mc.get_feature_extractor("clip_vit_b_32")
+        imgs = np.random.default_rng(1).integers(0, 256, (2, 224, 224, 3)).astype(np.uint8)
+        import jax.numpy as jnp
+
+        f = np.asarray(fn(jnp.asarray(imgs)))
+        assert f.shape == (2, 512)
+        np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-5)
+
+
+class TestEndToEnd:
+    def test_evaluate_model_full_flow(self, tmp_path):
+        """precompute synthetic stats -> evaluate FID+KID+SSIM/PSNR via one
+        cached generation pass."""
+        import logging
+
+        from nfdpm_tpu.data.pipeline import Loader
+        from nfdpm_tpu.data.datasets import synthetic
+
+        logger = logging.getLogger("t")
+        stats_dir = str(tmp_path)
+        mc.precompute_statistics(
+            logger, "", "synthetic", "test", 16, "clean", "inception_v3",
+            stats_dir=stats_dir, limit=48,
+        )
+
+        ds = synthetic(64, 16, 3, seed=5)
+
+        def sample_images(n):
+            idx = np.random.default_rng(0).integers(0, len(ds.images), n)
+            return ds.images[idx]
+
+        loader = Loader(synthetic(32, 16, 3, seed=6), batch_size=16)
+        metrics = mc.evaluate_model(
+            sample_images=sample_images, data_name="synthetic", dataset_res=16,
+            batch_size=16, num_gen=32, dataset_split="test",
+            fid_kwargs=[{"mode": "clean", "model_name": "inception_v3"}],
+            kid_kwargs=[{"mode": "clean", "model_name": "inception_v3"}],
+            ssim_psnr_kwargs={"data_range": 255, "loader": loader},
+            stats_dir=stats_dir, logger=logger,
+        )
+        assert "FID_clean_inception" in metrics and np.isfinite(metrics["FID_clean_inception"])
+        assert "KID_clean_inception" in metrics and np.isfinite(metrics["KID_clean_inception"])
+        assert np.isfinite(metrics["SSIM"]) and np.isfinite(metrics["PSNR"])
