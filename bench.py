@@ -6,8 +6,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md "to be measured by us"): the PyTorch reference
 (Glow L3 K4, batch 64, 32x32, fp32, eval-mode fwd+inverse) measured on this
 environment's 1-core CPU at 19.0 images/sec (3363 ms/iter) — see
-tools/measure_reference_baseline.py for the exact harness. North-star is
->=5x that per TPU chip (BASELINE.json).
+tools/measure_reference_baseline.py.  North-star is >=5x that per TPU chip
+(BASELINE.json).
+
+Methodology notes:
+  * Iterations are CHAINED inside one jitted `lax.scan` (each iteration's
+    input depends on the previous output) and the result is fetched to host
+    — on a tunneled TPU, `block_until_ready` can acknowledge before remote
+    execution completes, so free-running dispatch loops overreport wildly.
+  * The forward and inverse passes use slightly perturbed inputs per
+    iteration so XLA cannot CSE the inverse's coupling-net convolutions
+    against the forward's (they are bit-identical subexpressions otherwise).
 """
 
 import json
@@ -15,6 +24,8 @@ import sys
 import time
 
 REFERENCE_CPU_IMAGES_PER_SEC = 19.0
+BATCH = 64
+CHAIN = 50
 
 
 def main():
@@ -24,29 +35,33 @@ def main():
     from nfdpm_tpu.models import glow as glow_m
 
     cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4, coupling_width=512)
-    params = glow_m.init_glow(0, cfg)  # int seed: host-side build
-
-    batch = 64
-    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 32, 32, 3), jnp.float32) - 0.5
+    params = jax.device_put(glow_m.init_glow(0, cfg))
+    x0 = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 32, 3), jnp.float32) - 0.5
 
     @jax.jit
-    def fwd_inv(params, x):
-        latents, ldj, logp = glow_m.forward(params, cfg, x)
-        inv = glow_m.inverse(params, cfg, latents)
-        return inv, ldj, logp
+    def chain(params, x):
+        def body(carry, _):
+            latents, ldj, logp = glow_m.forward(params, cfg, carry)
+            # perturb latents so the inverse cannot reuse forward activations
+            eps = 1e-7 * jnp.mean(ldj)
+            latents = [z * (1.0 + eps) for z in latents]
+            inv = glow_m.inverse(params, cfg, latents)
+            # feed the inverse output back as the next forward input
+            return inv, jnp.mean(ldj)
+
+        out, ldjs = jax.lax.scan(body, x, None, length=CHAIN)
+        return jnp.sum(out) + jnp.sum(ldjs)
 
     # warmup / compile
-    out = fwd_inv(params, x)
-    jax.block_until_ready(out)
+    float(chain(params, x0))
 
-    n_iter = 50
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd_inv(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    reps = 3
+    for _ in range(reps):
+        s = float(chain(params, x0))  # host fetch forces real completion
+    dt = (time.perf_counter() - t0) / reps
 
-    ips = n_iter * batch / dt
+    ips = CHAIN * BATCH / dt
     print(json.dumps({
         "metric": "glow_L3K4_fwd_inverse_images_per_sec_per_chip_32x32",
         "value": round(ips, 2),

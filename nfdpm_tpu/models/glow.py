@@ -42,6 +42,14 @@ class GlowConfig:
     steps: int = 4            # K: step-flows per block
     coupling_width: int = 512
     learn_prior: bool = True  # learned (mean, log_sd) for split priors
+    coupling_dtype: str = "float32"  # "bfloat16": 2x MXU throughput for the
+    # coupling CNN; invertibility stays exact (both directions evaluate the
+    # same function) and logdet math stays fp32 — only the learned coupling
+    # function changes slightly. Parity runs use float32.
+
+    @property
+    def _coupling_jnp_dtype(self):
+        return jnp.bfloat16 if self.coupling_dtype == "bfloat16" else jnp.float32
 
 
 # ---------------------------------------------------------------------------
@@ -107,19 +115,20 @@ def init_glow(key: jax.Array, cfg: GlowConfig) -> Params:
 # Scanned step stacks
 # ---------------------------------------------------------------------------
 
-def _scan_steps_forward(stacked: Params, x: jax.Array, ldj: jax.Array):
+def _scan_steps_forward(stacked: Params, x: jax.Array, ldj: jax.Array,
+                        dtype=jnp.float32):
     def body(carry, sp):
         h, acc = carry
-        y, acc = bj.step_forward(sp, h, acc)
+        y, acc = bj.step_forward(sp, h, acc, dtype)
         return (y, acc), None
 
     (y, ldj), _ = jax.lax.scan(body, (x, ldj), stacked)
     return y, ldj
 
 
-def _scan_steps_inverse(stacked: Params, y: jax.Array) -> jax.Array:
+def _scan_steps_inverse(stacked: Params, y: jax.Array, dtype=jnp.float32) -> jax.Array:
     def body(h, sp):
-        return bj.step_inverse(sp, h), None
+        return bj.step_inverse(sp, h, dtype), None
 
     x, _ = jax.lax.scan(body, y, stacked, reverse=True)
     return x
@@ -164,16 +173,17 @@ def forward(
     if not with_logp:
         logp = None
 
+    dtype = cfg._coupling_jnp_dtype
     latents: List[jax.Array] = []
     y = x
     for block in params["blocks"]:
         y = bj.squeeze_forward(y)
-        y, ldj = _scan_steps_forward(block["steps"], y, ldj)
+        y, ldj = _scan_steps_forward(block["steps"], y, ldj, dtype)
         y, ldj, z, logp = bj.split_forward(block["split"], y, ldj, logp)
         latents.append(z)
 
     y = bj.squeeze_forward(y)
-    y, ldj = _scan_steps_forward(params["final_steps"], y, ldj)
+    y, ldj = _scan_steps_forward(params["final_steps"], y, ldj, dtype)
     latents.append(y)
     return latents, ldj, logp
 
@@ -188,9 +198,9 @@ def inverse(
     """Exact inverse (glow.py:203-228). `latents` may contain only the final
     part — missing per-level parts are sampled from the learned split priors
     at `temperature`, consuming `key` (required in that case)."""
-    n_blocks = len(params["blocks"])
+    dtype = cfg._coupling_jnp_dtype
     y = latents[-1]
-    y = _scan_steps_inverse(params["final_steps"], y)
+    y = _scan_steps_inverse(params["final_steps"], y, dtype)
     y = bj.squeeze_inverse(y)
 
     for i, block in enumerate(reversed(params["blocks"])):
@@ -202,7 +212,7 @@ def inverse(
                 raise ValueError("PRNG key required to sample missing latent parts")
             subkey = jax.random.fold_in(key, i)
         y = bj.split_inverse(block["split"], y, z, subkey, temperature)
-        y = _scan_steps_inverse(block["steps"], y)
+        y = _scan_steps_inverse(block["steps"], y, dtype)
         y = bj.squeeze_inverse(y)
     return y
 

@@ -189,24 +189,30 @@ def invconv_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.A
     return y, ldj
 
 
-def invconv_inverse(params: Params, y: jax.Array) -> jax.Array:
-    """x = y @ W^{-T} via two triangular solves (no general inverse on TPU).
-
-    Reference computes an explicit `weight.inverse()` (transforms.py:144).
-    """
+def invconv_inverse_weight(params: Params) -> jax.Array:
+    """W^{-1} = U^{-1} L^{-1} P^T via two C x C triangular solves against the
+    identity — O(C^3) once, then the pixel application is a single MXU
+    matmul (a [N, C] x [C, C] triangular solve is latency-bound on TPU)."""
     c = params["log_s"].shape[0]
     eye = jnp.eye(c, dtype=jnp.float32)
     l = eye + jnp.tril(params["lower"], -1)
     u = jnp.triu(params["upper"], 1) + jnp.diag(params["sign"] * jnp.exp(params["log_s"]))
-    # W = P L U  =>  W^{-1} = U^{-1} L^{-1} P^{-1}; apply to channel vectors.
-    # x = W^{-1} y  per pixel: first undo P (gather rows), then solve L z = .,
-    # then U x = z. Batched: treat y as [N, C] and solve on the right.
-    b, hh, ww, _ = y.shape
-    yf = y.reshape(-1, c)
-    yp = jnp.matmul(yf, params["p_mat"], precision=jax.lax.Precision.HIGHEST)  # (P^T y) per pixel-row
-    z = jax.scipy.linalg.solve_triangular(l, yp.T, lower=True, unit_diagonal=True)
-    xf = jax.scipy.linalg.solve_triangular(u, z, lower=False)
-    return xf.T.reshape(b, hh, ww, c)
+    l_inv = jax.scipy.linalg.solve_triangular(l, eye, lower=True, unit_diagonal=True)
+    u_inv = jax.scipy.linalg.solve_triangular(u, eye, lower=False)
+    # W = P L U  =>  W^{-1} = U^{-1} L^{-1} P^T
+    ul = jnp.matmul(u_inv, l_inv, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(ul, params["p_mat"].T, precision=jax.lax.Precision.HIGHEST)
+
+
+def invconv_inverse(params: Params, y: jax.Array) -> jax.Array:
+    """x[..., c] = sum_o Winv[c, o] y[..., o] — one channel-mixing matmul.
+
+    Reference computes an explicit `weight.inverse()` per call
+    (transforms.py:144); here the inverse weight is assembled from the PLU
+    factors with triangular solves (exact, no general matrix inverse)."""
+    w_inv = invconv_inverse_weight(params)
+    return jnp.einsum("bhwo,co->bhwc", y, w_inv, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -222,14 +228,15 @@ def init_coupling(key, channels: int, width: int = 512) -> Params:
     return {"net": init_coupling_net(as_host_rng(key), channels // 2, width, channels)}
 
 
-def coupling_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def coupling_forward(params: Params, x: jax.Array, ldj: jax.Array,
+                     dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
     """Channel-split affine coupling (transforms.py:179-185):
     scale = sigmoid(log_scale + 2);  y_b = (x_b + bias) * scale;
     ldj += sum log(scale + 1e-6).
     """
     c = x.shape[-1]
     x_a, x_b = x[..., : c // 2], x[..., c // 2:]
-    h = coupling_net_apply(params["net"], x_a)
+    h = coupling_net_apply(params["net"], x_a, dtype)
     log_scale, bias = h[..., : c // 2], h[..., c // 2:]
     scale = jax.nn.sigmoid(log_scale + 2.0)
     y_b = (x_b + bias) * scale
@@ -239,11 +246,11 @@ def coupling_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.
     return jnp.concatenate([x_a, y_b], axis=-1), ldj
 
 
-def coupling_inverse(params: Params, y: jax.Array) -> jax.Array:
+def coupling_inverse(params: Params, y: jax.Array, dtype=jnp.float32) -> jax.Array:
     """x_b = y_b / (scale + 1e-6) - bias (transforms.py:196-200)."""
     c = y.shape[-1]
     y_a, y_b = y[..., : c // 2], y[..., c // 2:]
-    h = coupling_net_apply(params["net"], y_a)
+    h = coupling_net_apply(params["net"], y_a, dtype)
     log_scale, bias = h[..., : c // 2], h[..., c // 2:]
     scale = jax.nn.sigmoid(log_scale + 2.0)
     x_b = y_b / (scale + _EPS_COUPLING) - bias
@@ -373,17 +380,50 @@ def init_step(key, channels: int, width: int = 512) -> Params:
     }
 
 
-def step_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    y, ldj = actnorm_forward(params["actnorm"], x, ldj)
-    y, ldj = invconv_forward(params["invconv"], y, ldj)
-    y, ldj = coupling_forward(params["coupling"], y, ldj)
+def fused_actnorm_invconv_forward(
+    an: Params, ic: Params, x: jax.Array, ldj: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """actnorm + PLU 1x1 conv folded into ONE matmul + bias:
+
+        W (e^s * (x + b)) = x @ (W diag(e^s))^T + W (e^s * b)
+
+    Exact same math as the two ops, one fewer full-tensor HBM pass (the
+    actnorm elementwise disappears into the MXU epilogue);
+    ldj += H*W*(sum(s) + sum(log_s))."""
+    h, w = x.shape[1], x.shape[2]
+    wmat = invconv_weight(ic)                       # [O, C]
+    es = jnp.exp(an["scale"])                        # [C]
+    w_fold = wmat * es[None, :]                      # W diag(e^s), [O, C]
+    b_fold = jnp.matmul(wmat, es * an["bias"],
+                        precision=jax.lax.Precision.HIGHEST)  # [O]
+    y = jnp.einsum("bhwc,oc->bhwo", x, w_fold, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) + b_fold
+    ldj = ldj + (h * w) * (jnp.sum(an["scale"]) + jnp.sum(ic["log_s"])).astype(ldj.dtype)
     return y, ldj
 
 
-def step_inverse(params: Params, y: jax.Array) -> jax.Array:
-    x = coupling_inverse(params["coupling"], y)
-    x = invconv_inverse(params["invconv"], x)
-    x = actnorm_inverse(params["actnorm"], x)
+def fused_invconv_actnorm_inverse(an: Params, ic: Params, y: jax.Array) -> jax.Array:
+    """Inverse of the fused pair: x = y @ (diag(e^-s) W^{-1})^T - b."""
+    w_inv = invconv_inverse_weight(ic)               # [C, O]
+    es_inv = jnp.exp(-an["scale"])                   # [C]
+    w_fold = es_inv[:, None] * w_inv                 # diag(e^-s) W^{-1}
+    x = jnp.einsum("bhwo,co->bhwc", y, w_fold, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x - an["bias"]
+
+
+def step_forward(params: Params, x: jax.Array, ldj: jax.Array,
+                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    y, ldj = fused_actnorm_invconv_forward(
+        params["actnorm"], params["invconv"], x, ldj
+    )
+    y, ldj = coupling_forward(params["coupling"], y, ldj, dtype)
+    return y, ldj
+
+
+def step_inverse(params: Params, y: jax.Array, dtype=jnp.float32) -> jax.Array:
+    x = coupling_inverse(params["coupling"], y, dtype)
+    x = fused_invconv_actnorm_inverse(params["actnorm"], params["invconv"], x)
     return x
 
 

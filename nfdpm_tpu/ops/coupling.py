@@ -48,14 +48,22 @@ def init_coupling_net(
     }
 
 
-def _conv_actnorm(x: jax.Array, conv: Params, an: Params, padding: int) -> jax.Array:
-    h = conv2d_nhwc(x, conv["w"], padding=padding)
+def _conv_actnorm(x: jax.Array, conv: Params, an: Params, padding: int,
+                  dtype=jnp.float32) -> jax.Array:
+    """Conv with the actnorm affine folded into the epilogue. `dtype`
+    selects the MXU input precision (bf16 doubles throughput on TPU; the
+    epilogue and accumulation stay fp32, and forward/inverse remain exactly
+    consistent because both directions evaluate the identical function)."""
+    h = conv2d_nhwc(x.astype(dtype), jnp.asarray(conv["w"]).astype(dtype),
+                    padding=padding)
     return jnp.exp(an["scale"]) * (h + an["bias"])
 
 
-def coupling_net_apply(params: Params, x: jax.Array) -> jax.Array:
-    h = jax.nn.relu(_conv_actnorm(x, params["conv1"], params["an1"], padding=1))
-    h = jax.nn.relu(_conv_actnorm(h, params["conv2"], params["an2"], padding=0))
+def coupling_net_apply(params: Params, x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    h = jax.nn.relu(_conv_actnorm(x, params["conv1"], params["an1"], padding=1,
+                                  dtype=dtype))
+    h = jax.nn.relu(_conv_actnorm(h, params["conv2"], params["an2"], padding=0,
+                                  dtype=dtype))
     return zeroconv_apply(params["zconv"], h)
 
 

@@ -1,0 +1,76 @@
+"""Pallas TPU kernel: fused actnorm + PLU 1x1-conv channel mix.
+
+The Glow step's pre-coupling portion is one channel-mixing matmul with an
+affine epilogue (see bijectors.fused_actnorm_invconv_forward):
+
+    y[n, o] = sum_c x[n, c] * Wf[o, c] + bf[o],      n over B*H*W pixels
+
+This kernel tiles the pixel axis into VMEM-resident blocks and performs the
+[TILE_N, C] x [C, O] matmul on the MXU with the bias add fused in the same
+kernel — one HBM read of x, one HBM write of y, weights resident in VMEM
+across the whole grid.
+
+The channel counts in Glow are small (<= 2^(L+1)*C_img, e.g. 48..192), so C
+and O are zero-padded to the 128-lane boundary once on the host side of the
+call; the pad is sliced off on return. Used when `GlowConfig.use_pallas`
+is set; numerically identical to the XLA path (fp32 accumulate) — see
+tests/test_pallas_kernels.py, which runs it in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+TILE_N = 512
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref):
+    # x: [TILE_N, C], w: [C, O], b: [1, O]  -> o: [TILE_N, O]
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = acc + b_ref[:]
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def channel_mix(x: jax.Array, w_fold: jax.Array, b_fold: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """x: [B, H, W, C]; w_fold: [O, C]; b_fold: [O] -> [B, H, W, O]."""
+    bsz, hh, ww, c = x.shape
+    o = w_fold.shape[0]
+    n = bsz * hh * ww
+    c_pad, o_pad = _round_up(c, LANE), _round_up(o, LANE)
+    n_pad = _round_up(n, TILE_N)
+
+    xf = x.reshape(n, c).astype(jnp.float32)
+    xf = jnp.pad(xf, ((0, n_pad - n), (0, c_pad - c)))
+    wt = jnp.pad(w_fold.T.astype(jnp.float32), ((0, c_pad - c), (0, o_pad - o)))
+    bf = jnp.pad(b_fold.astype(jnp.float32), (0, o_pad - o)).reshape(1, o_pad)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_pad // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((TILE_N, c_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, o_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, o_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, o_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * c_pad * o_pad,
+            bytes_accessed=4 * (n_pad * c_pad + c_pad * o_pad + n_pad * o_pad),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, wt, bf)
+    return out[:n, :o].reshape(bsz, hh, ww, o)
