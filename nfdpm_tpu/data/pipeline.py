@@ -105,6 +105,8 @@ class Loader:
         return len(self.dataset)
 
     def __iter__(self) -> Iterator[Batch]:
+        from . import native
+
         n = len(self.dataset)
         idx = np.arange(n)
         rng = np.random.default_rng(self.seed + self._epoch)
@@ -115,10 +117,12 @@ class Loader:
         n_batches = len(self)
         for b in range(n_batches):
             sel = idx[b * bs: (b + 1) * bs]
-            imgs = to_unit_float(self.dataset.images[sel])
-            if self.random_hflip:
-                flip = rng.random(len(sel)) < 0.5
-                imgs[flip] = imgs[flip, :, ::-1, :]
+            flips = (
+                (rng.random(len(sel)) < 0.5).astype(np.uint8)
+                if self.random_hflip else None
+            )
+            # gather + /255 + flip in one native pass (C++; numpy fallback)
+            imgs = native.batch_gather_normalize(self.dataset.images, sel, flips)
             yield imgs, self.dataset.labels[sel]
 
     def padded_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
@@ -223,3 +227,38 @@ def host_shard(batch: np.ndarray, host_id: int, n_hosts: int) -> np.ndarray:
     """Deterministic per-host slice of the global batch (SURVEY.md §5.8)."""
     per = len(batch) // n_hosts
     return batch[host_id * per: (host_id + 1) * per]
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Background-thread prefetch: overlaps host batch assembly and
+    host->device transfer with device compute (the torch-DataLoader-worker
+    analogue for a jitted device loop). Yields batches already device_put
+    (optionally with a NamedSharding)."""
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                imgs, labels = item[0], item[1]
+                dev = jax.device_put(imgs, sharding) if sharding is not None \
+                    else jax.device_put(imgs)
+                q.put((dev,) + tuple(item[1:]))
+            q.put(_END)
+        except Exception as e:  # surface errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, Exception):
+            raise item
+        yield item

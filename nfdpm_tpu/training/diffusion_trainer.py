@@ -207,11 +207,14 @@ def train(
         train_step = make_train_step(backbone, dp, tcfg, tx)
         sample_fn = make_sample_fn(backbone, dp, tcfg)
 
+        from ..data.pipeline import prefetch_to_device
+
+        data_sharding = mesh_m.data_sharding(mesh)
         running, n_running, log_count = 0.0, 0, 0
         for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
             t0 = time.time()
-            for imgs, _labels in loaders.train:
-                batch = mesh_m.shard_batch(mesh, jnp.asarray(imgs))
+            for batch, _labels in prefetch_to_device(iter(loaders.train),
+                                                     sharding=data_sharding):
                 state, metrics = train_step(state, batch, key)
                 current_iter += 1
                 running += float(metrics["loss"])

@@ -1,0 +1,103 @@
+"""Data pipeline tests: native vs numpy batch assembly parity, loader
+contracts, stratified split, host sharding, prefetch."""
+
+import numpy as np
+import pytest
+
+from nfdpm_tpu.data import native
+from nfdpm_tpu.data.datasets import synthetic
+from nfdpm_tpu.data.pipeline import (
+    Loader,
+    host_shard,
+    pad_to,
+    prefetch_to_device,
+    read_dataset,
+    stratified_split,
+)
+
+
+class TestNative:
+    def test_native_lib_builds_and_loads(self):
+        assert native.available(), "C++ batch-ops library failed to build/load"
+
+    def test_gather_normalize_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, (32, 8, 8, 3)).astype(np.uint8)
+        idx = rng.integers(0, 32, 16).astype(np.int64)
+        flips = (rng.random(16) < 0.5).astype(np.uint8)
+        out = native.batch_gather_normalize(images, idx, flips)
+        ref = images[idx].astype(np.float32) / 255.0
+        mask = flips.astype(bool)
+        ref[mask] = ref[mask, :, ::-1, :]
+        np.testing.assert_allclose(out, ref, atol=1e-7)
+
+    def test_no_flips(self):
+        rng = np.random.default_rng(1)
+        images = rng.integers(0, 256, (10, 4, 4, 1)).astype(np.uint8)
+        idx = np.arange(10, dtype=np.int64)
+        out = native.batch_gather_normalize(images, idx, None)
+        np.testing.assert_allclose(out, images.astype(np.float32) / 255.0)
+
+
+class TestLoader:
+    def test_drop_last_static_shapes(self):
+        ds = synthetic(50, 8, 3)
+        loader = Loader(ds, batch_size=16, shuffle=True, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert all(b[0].shape == (16, 8, 8, 3) for b in batches)
+
+    def test_padded_batches_mask(self):
+        ds = synthetic(20, 8, 3)
+        loader = Loader(ds, batch_size=16)
+        out = list(loader.padded_batches())
+        assert out[0][2] == 16 and out[1][2] == 4
+        assert out[1][0].shape == (16, 8, 8, 3)
+
+    def test_shuffle_deterministic_per_epoch(self):
+        ds = synthetic(32, 8, 3)
+        l1 = Loader(ds, batch_size=8, shuffle=True, seed=3)
+        l2 = Loader(ds, batch_size=8, shuffle=True, seed=3)
+        a = next(iter(l1))[0]
+        b = next(iter(l2))[0]
+        np.testing.assert_array_equal(a, b)
+        # next epoch differs
+        c = next(iter(l1))[0]
+        assert not np.array_equal(a, c)
+
+    def test_stratified_split(self):
+        labels = np.repeat(np.arange(5), 20)
+        tr, va = stratified_split(labels, 0.2, seed=0)
+        assert len(va) == 20 and len(tr) == 80
+        for c in range(5):
+            assert (labels[va] == c).sum() == 4
+
+    def test_four_loader_contract(self):
+        loaders = read_dataset("synthetic", "", validate=True, batch_size=8,
+                               img_size=8, synthetic_fallback=True, synthetic_n=64)
+        assert loaders.val is not None
+        assert loaders.train.drop_last and loaders.train.shuffle
+        assert not loaders.test.shuffle
+        assert loaders.eval.shuffle  # train data, test transforms, shuffled
+
+    def test_pad_to(self):
+        x = np.ones((2, 28, 28, 1), np.uint8)
+        out = pad_to(x, 32)
+        assert out.shape == (2, 32, 32, 1)
+        assert out[:, :2].sum() == 0 and out[:, 2:30, 2:30].all()
+
+    def test_host_shard(self):
+        batch = np.arange(16).reshape(16, 1)
+        s0 = host_shard(batch, 0, 4)
+        s3 = host_shard(batch, 3, 4)
+        np.testing.assert_array_equal(s0.ravel(), [0, 1, 2, 3])
+        np.testing.assert_array_equal(s3.ravel(), [12, 13, 14, 15])
+
+    def test_prefetch_to_device(self):
+        ds = synthetic(32, 8, 3)
+        loader = Loader(ds, batch_size=8, drop_last=True)
+        out = list(prefetch_to_device(iter(loader), size=2))
+        assert len(out) == 4
+        import jax
+
+        assert isinstance(out[0][0], jax.Array)
