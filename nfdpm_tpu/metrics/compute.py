@@ -291,6 +291,7 @@ def make_nf_evaluate_fn(
     logger,
     stats_dir: str = fid_m.DEFAULT_STATS_DIR,
     quick_num_gen: int = 64,
+    ssim_psnr: Optional[Dict] = None,
 ):
     """evaluate_fn(sample_fn, params, epoch) used by both trainers: quick
     FID/KID at checkpoint epochs (reference num_gen=15 for NF / 2000 for
@@ -306,12 +307,17 @@ def make_nf_evaluate_fn(
             key = jax.random.PRNGKey(epoch)
             return np.asarray(sample_fn(params, key, n, temperature, np.int32(epoch)))
 
+        ssim_kwargs = None
+        if ssim_psnr is not None:
+            ssim_kwargs = {"data_range": ssim_psnr.get("data_range", 255),
+                           "loader": loaders.eval}
         try:
             metrics = evaluate_model(
                 sample_images=sample_images, data_name=data_name,
                 dataset_res=img_size, batch_size=32, num_gen=num_gen,
                 dataset_split=split, fid_kwargs=fid_configs,
-                kid_kwargs=kid_configs, stats_dir=stats_dir, logger=logger,
+                kid_kwargs=kid_configs, ssim_psnr_kwargs=ssim_kwargs,
+                stats_dir=stats_dir, logger=logger,
             )
             logger.info(f"epoch {epoch} metrics: {metrics}")
             return metrics

@@ -46,6 +46,10 @@ class GlowConfig:
     # coupling CNN; invertibility stays exact (both directions evaluate the
     # same function) and logdet math stays fp32 — only the learned coupling
     # function changes slightly. Parity runs use float32.
+    remat: bool = False  # jax.checkpoint each step-flow: recompute coupling
+    # activations in the backward pass instead of storing K*L of them —
+    # trades ~33% more FLOPs for O(K*L) less activation memory (needed for
+    # CelebA-128 L5 K16 scale, SURVEY.md §6 workload envelopes).
 
     @property
     def _coupling_jnp_dtype(self):
@@ -116,12 +120,14 @@ def init_glow(key: jax.Array, cfg: GlowConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 def _scan_steps_forward(stacked: Params, x: jax.Array, ldj: jax.Array,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, remat: bool = False):
     def body(carry, sp):
         h, acc = carry
         y, acc = bj.step_forward(sp, h, acc, dtype)
         return (y, acc), None
 
+    if remat:
+        body = jax.checkpoint(body)
     (y, ldj), _ = jax.lax.scan(body, (x, ldj), stacked)
     return y, ldj
 
@@ -178,12 +184,12 @@ def forward(
     y = x
     for block in params["blocks"]:
         y = bj.squeeze_forward(y)
-        y, ldj = _scan_steps_forward(block["steps"], y, ldj, dtype)
+        y, ldj = _scan_steps_forward(block["steps"], y, ldj, dtype, cfg.remat)
         y, ldj, z, logp = bj.split_forward(block["split"], y, ldj, logp)
         latents.append(z)
 
     y = bj.squeeze_forward(y)
-    y, ldj = _scan_steps_forward(params["final_steps"], y, ldj, dtype)
+    y, ldj = _scan_steps_forward(params["final_steps"], y, ldj, dtype, cfg.remat)
     latents.append(y)
     return latents, ldj, logp
 

@@ -71,8 +71,9 @@ def main(argv):
 
     fid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.FID"))
     kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
+    ssim_cfg = cfg.select("model.evaluation.metrics.SSIM_and_PSNR")
     evaluate_fn = None
-    if fid_cfgs or kid_cfgs:
+    if fid_cfgs or kid_cfgs or ssim_cfg:
         from nfdpm_tpu.metrics.compute import make_nf_evaluate_fn
 
         evaluate_fn = make_nf_evaluate_fn(
@@ -83,6 +84,7 @@ def main(argv):
             img_size=int(cfg.data.img_size),
             temperature=float(tr.temperature),
             logger=logger,
+            ssim_psnr=dict(ssim_cfg) if ssim_cfg else None,
         )
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
@@ -103,7 +105,7 @@ def main(argv):
         if not resume_dir:
             raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
         tx = make_optimizer(tcfg.optimizer, tcfg.lr)
-        template = nft.init_train_state(jax.random.PRNGKey(0), gcfg, tcfg, tx)
+        template = nft.init_train_state(0, gcfg, tcfg, tx)
         state = restore_state(resume_dir, "gaussian", resume_epoch, template)
         eval_step = nft.make_eval_step(gcfg, tcfg)
         sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size))

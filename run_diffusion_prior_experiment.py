@@ -106,14 +106,16 @@ def main(argv):
 
     fid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.FID"))
     kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
+    ssim_cfg = cfg.select("model.evaluation.metrics.SSIM_and_PSNR")
     evaluate_fn = None
-    if fid_cfgs or kid_cfgs:
+    if fid_cfgs or kid_cfgs or ssim_cfg:
         from nfdpm_tpu.metrics.compute import make_nf_evaluate_fn
 
         evaluate_fn = make_nf_evaluate_fn(
             data_name=cfg.data.name, loaders=loaders, fid_configs=fid_cfgs,
             kid_configs=kid_cfgs, img_size=img_size,
             temperature=float(tr.temperature), logger=logger,
+            ssim_psnr=dict(ssim_cfg) if ssim_cfg else None,
         )
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
