@@ -313,7 +313,9 @@ class GaussianDiffusion:
         return self.p_losses(params, k_p, self.normalize(img), t)
 
     # -- ancestral sampling as ONE scan (gaussian_diffusion.py:695-733) ---
-    def p_sample_loop(self, params, key, shape):
+    def p_sample_loop(self, params, key, shape, return_all_timesteps: bool = False):
+        """`return_all_timesteps=True` stacks the trajectory [B, T+1, ...]
+        (x_T first), matching gaussian_diffusion.py:720-731."""
         k_init, k_loop = jax.random.split(key)
         img0 = jax.random.normal(k_init, shape)
 
@@ -326,10 +328,13 @@ class GaussianDiffusion:
             )
             noise = jax.random.normal(jax.random.fold_in(k_loop, t), shape)
             img = mean + jnp.where(t > 0, jnp.exp(0.5 * logvar), 0.0) * noise
-            return (img, x_start), None
+            return (img, x_start), (img if return_all_timesteps else None)
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts)
+        (img, _), traj = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts)
+        if return_all_timesteps:
+            all_imgs = jnp.concatenate([img0[None], traj], axis=0)
+            return self.unnormalize(jnp.swapaxes(all_imgs, 0, 1))
         return self.unnormalize(img)
 
     # -- DDIM sampling as ONE scan (gaussian_diffusion.py:735-777) --------
@@ -390,10 +395,16 @@ class GaussianDiffusion:
         (img, _), _ = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts)
         return self.unnormalize(img)
 
-    def sample(self, params, key, batch_size: int = 16):
+    def sample(self, params, key, batch_size: int = 16,
+               return_all_timesteps: bool = False):
         shape = (batch_size, self.cfg.image_size, self.cfg.image_size, self.cfg.channels)
-        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
-        return fn(params, key, shape)
+        if self.is_ddim_sampling:
+            if return_all_timesteps:
+                raise NotImplementedError(
+                    "trajectory output is supported for the ancestral sampler"
+                )
+            return self.ddim_sample(params, key, shape)
+        return self.p_sample_loop(params, key, shape, return_all_timesteps)
 
     # -- interpolation (gaussian_diffusion.py:785-804) --------------------
     def interpolate(self, params, key, x1, x2, t: Optional[int] = None, lam: float = 0.5):

@@ -74,6 +74,18 @@ def as_host_rng(key_or_rng) -> np.random.Generator:
 
 
 # ---------------------------------------------------------------------------
+# Identity (transforms.py:14-25)
+# ---------------------------------------------------------------------------
+
+def identity_forward(x: jax.Array, ldj: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return x, ldj
+
+
+def identity_inverse(y: jax.Array) -> jax.Array:
+    return y
+
+
+# ---------------------------------------------------------------------------
 # ActNorm
 # ---------------------------------------------------------------------------
 

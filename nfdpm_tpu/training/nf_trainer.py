@@ -219,14 +219,17 @@ def train(
         sample_fn = make_sample_fn(cfg, tcfg, img_size)
 
         from ..data.pipeline import prefetch_to_device
+        from ..utils.profiling import StepTimer
 
         data_sharding = mesh_m.data_sharding(mesh)
         running, n_running, log_count = 0.0, 0, 0
         for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
             t0 = time.time()
+            timer = StepTimer()
             for batch, _labels in prefetch_to_device(iter(loaders.train),
                                                      sharding=data_sharding):
-                state, metrics = train_step(state, batch, key)
+                with timer.step():
+                    state, metrics = train_step(state, batch, key)
                 current_iter += 1
                 running += float(metrics["bpd"])
                 n_running += 1
@@ -246,8 +249,11 @@ def train(
                                              step=current_iter, epoch=epoch)
 
             dt = time.time() - t0
+            ts = timer.summary()
             logger.info(f"epoch {epoch} done in {dt:.1f}s "
-                        f"({len(loaders.train)/max(dt,1e-9):.2f} it/s)")
+                        f"({len(loaders.train)/max(dt,1e-9):.2f} it/s, "
+                        f"step p50 {ts.get('p50_ms', 0):.1f}ms "
+                        f"p95 {ts.get('p95_ms', 0):.1f}ms)")
 
             if epoch % tcfg.save_checkpoint_freq == 0:
                 if evaluate_fn is not None:
