@@ -139,3 +139,83 @@ def test_preprocess_parity(parity_setup, ref_modules):
     np.testing.assert_array_equal(
         np.asarray(jax_post), ref_post.numpy().transpose(0, 2, 3, 1)
     )
+
+
+def test_gradient_parity(parity_setup):
+    """d(BPD)/d(theta) matches torch autograd on identical weights+input for
+    the shared parameterization leaves (actnorm, coupling convs, split/prior
+    zero-convs). PLU leaves are excluded (different parameterization of the
+    same function)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.models import prior as prior_m
+    from nfdpm_tpu.utils.reference_import import (
+        import_gaussian_prior_state_dict,
+        import_glow_state_dict,
+    )
+
+    s = parity_setup
+    model, gp = s["model"], s["gp"]
+    n_pixel = s["size"] * s["size"] * 3.0
+    n_bins = 32.0
+
+    # torch grads
+    model.zero_grad()
+    for p in gp.parameters():
+        if p.grad is not None:
+            p.grad = None
+    B = s["x"].shape[0]
+    latents_t, ldj_t, logp_t = model.transform(
+        s["x"], torch.zeros(B), torch.zeros(B)
+    )
+    logp_t = logp_t + gp.compute_log_prob(latents_t[-1])
+    ll = ldj_t + logp_t
+    bpd_t = ((np.log(n_bins) * n_pixel - ll) * (np.log2(np.e) / n_pixel)).mean()
+    bpd_t.backward()
+
+    # jax grads
+    cfg = glow_m.GlowConfig(in_channels=s["C"], levels=s["L"], steps=s["K"])
+    params = {
+        "flow": import_glow_state_dict(model.state_dict(), s["L"], s["K"]),
+        "prior": import_gaussian_prior_state_dict(gp.state_dict()),
+    }
+    x = jnp.asarray(_to_nhwc(s["x"]))
+
+    def loss_fn(params):
+        latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
+        logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
+        return prior_m.bits_per_dim(ldj + logp, n_bins, n_pixel)
+
+    bpd_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(bpd_j), float(bpd_t), rtol=1e-4)
+
+    named_t = dict(model.named_parameters())
+
+    def tgrad(name):
+        return named_t[name].grad.detach().numpy()
+
+    # actnorm of first step in first block (stacked axis 0 -> step k)
+    an = grads["flow"]["blocks"][0]["steps"]["actnorm"]
+    for k in range(s["K"]):
+        np.testing.assert_allclose(
+            np.asarray(an["scale"])[k],
+            tgrad(f"blocks.0.flows.{k}.actnorm.scale").reshape(-1),
+            rtol=2e-2, atol=1e-5,
+        )
+    # coupling conv1 kernel of final step 0 (OIHW -> HWIO)
+    cw = np.asarray(grads["flow"]["final_steps"]["coupling"]["net"]["conv1"]["w"])[0]
+    ref_g = tgrad("final_flows.0.affcoupling.net.0._Conv2dActNorm__conv.weight")
+    np.testing.assert_allclose(cw, ref_g.transpose(2, 3, 1, 0), rtol=2e-2, atol=1e-5)
+    # split zero-conv logs of block 0
+    zl = np.asarray(grads["flow"]["blocks"][0]["split"]["conv"]["logs"])
+    np.testing.assert_allclose(
+        zl, tgrad("blocks.0.split.conv.logs").reshape(-1), rtol=2e-2, atol=1e-5
+    )
+    # final-prior (bias, logs): the reference conv's bias/logs
+    gp_named = dict(gp.named_parameters())
+    gb = [v for k, v in gp_named.items() if k.endswith("bias")][0].grad.detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(grads["prior"]["bias"]), gb.reshape(-1), rtol=2e-2, atol=1e-5
+    )
