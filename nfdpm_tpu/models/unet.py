@@ -249,6 +249,9 @@ class Unet(nn.Module):
     learned_sinusoidal_cond: bool = False
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
+    remat: bool = False  # rematerialize ResnetBlocks in the backward pass
+    # (activation memory ~ O(depth) -> O(1) per block; for CelebA-128-scale
+    # UNets, cf. jax.checkpoint on the flow scan)
 
     @property
     def effective_out_dim(self) -> int:
@@ -280,33 +283,34 @@ class Unet(nn.Module):
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         groups = self.resnet_block_groups
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         hs = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = ResnetBlock(dim_in, groups)(x, t)
+            x = Res(dim_in, groups)(x, t)
             hs.append(x)
-            x = ResnetBlock(dim_in, groups)(x, t)
+            x = Res(dim_in, groups)(x, t)
             x = PreNormResidual(LinearAttention())(x)
             hs.append(x)
             x = (nn.Conv(dim_out, (3, 3), padding=1)(x) if is_last
                  else Downsample(dim_out)(x))
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, groups)(x, t)
+        x = Res(mid_dim, groups)(x, t)
         x = PreNormResidual(Attention())(x)
-        x = ResnetBlock(mid_dim, groups)(x, t)
+        x = Res(mid_dim, groups)(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups)(x, t)
+            x = Res(dim_out, groups)(x, t)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups)(x, t)
+            x = Res(dim_out, groups)(x, t)
             x = PreNormResidual(LinearAttention())(x)
             x = (nn.Conv(dim_in, (3, 3), padding=1)(x) if is_last
                  else Upsample(dim_in)(x))
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, groups)(x, t)
+        x = Res(self.dim, groups)(x, t)
         return nn.Conv(self.effective_out_dim, (1, 1))(x)

@@ -211,24 +211,24 @@ def train(
         from ..utils.profiling import StepTimer
 
         data_sharding = mesh_m.data_sharding(mesh)
-        running, n_running, log_count = 0.0, 0, 0
+        log_count = 0
         for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
             t0 = time.time()
             timer = StepTimer()
+            pending = []  # device scalars; fetched only at print_freq
             for batch, _labels in prefetch_to_device(iter(loaders.train),
                                                      sharding=data_sharding):
                 with timer.step():
                     state, metrics = train_step(state, batch, key)
                 current_iter += 1
-                running += float(metrics["loss"])
-                n_running += 1
+                pending.append(metrics["loss"])
 
                 if current_iter % tcfg.print_freq == 0:
-                    avg = running / n_running
+                    avg = float(jnp.mean(jnp.stack(pending)))
+                    pending = []
                     tracker.track(avg, loss_name, step=current_iter, epoch=epoch,
                                   context={"subset": "train"})
                     logger.info(f"epoch {epoch} iter {current_iter}: {loss_name} {avg:.4f}")
-                    running, n_running = 0.0, 0
                     log_count += 1
                     if log_count % tcfg.log_gen_images_per_iter == 0:
                         samples = sample_fn(state["params"], key, tcfg.n_samples_log,

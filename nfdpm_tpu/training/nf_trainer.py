@@ -144,14 +144,21 @@ def init_train_state(
     return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
 
 
-def calculate_bpd(eval_step, params, loader: Loader, key: jax.Array) -> float:
+def calculate_bpd(eval_step, params, loader: Loader, key: jax.Array,
+                  n_dequant_samples: int = 1) -> float:
     """Mean BPD over a loader (reference calculate_bpd, trainer.py:21-55),
     with padded static-shape batches (pad examples masked out). The per-batch
-    key salt is a traced arg — no host-side key ops in the loop."""
+    key salt is a traced arg — no host-side key ops in the loop.
+    `n_dequant_samples > 1` averages BPD over multiple dequantization draws
+    (the reference's single-draw "importance sampling" generalized)."""
     total, count = 0.0, 0
     for i, (imgs, _labels, n_valid) in enumerate(loader.padded_batches()):
-        bpds = eval_step(params, jnp.asarray(imgs), key, np.int32(i))
-        total += float(jnp.sum(bpds[:n_valid]))
+        batch = jnp.asarray(imgs)
+        acc = 0.0
+        for r in range(n_dequant_samples):
+            bpds = eval_step(params, batch, key, np.int32(i * 131 + r))
+            acc = acc + jnp.sum(bpds[:n_valid])
+        total += float(acc) / n_dequant_samples
         count += n_valid
     return total / max(count, 1)
 
@@ -222,24 +229,24 @@ def train(
         from ..utils.profiling import StepTimer
 
         data_sharding = mesh_m.data_sharding(mesh)
-        running, n_running, log_count = 0.0, 0, 0
+        log_count = 0
         for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
             t0 = time.time()
             timer = StepTimer()
+            pending = []  # device scalars; fetched only at print_freq
             for batch, _labels in prefetch_to_device(iter(loaders.train),
                                                      sharding=data_sharding):
                 with timer.step():
                     state, metrics = train_step(state, batch, key)
                 current_iter += 1
-                running += float(metrics["bpd"])
-                n_running += 1
+                pending.append(metrics["bpd"])
 
                 if current_iter % tcfg.print_freq == 0:
-                    avg = running / n_running
+                    avg = float(jnp.mean(jnp.stack(pending)))
+                    pending = []
                     tracker.track(avg, "bpd", step=current_iter, epoch=epoch,
                                   context={"subset": "train"})
                     logger.info(f"epoch {epoch} iter {current_iter}: bpd {avg:.4f}")
-                    running, n_running = 0.0, 0
                     log_count += 1
                     if (log_count % tcfg.log_gen_images_per_iter == 0) and epoch % 5 == 0:
                         samples = sample_fn(state["params"], key,

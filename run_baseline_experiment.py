@@ -67,6 +67,7 @@ def main(argv):
         transformations=list(cfg.data.transformations or []),
         seed=int(cfg.seed),
         synthetic_fallback=bool(cfg.data.get("synthetic_fallback", False)),
+        synthetic_n=int(cfg.data.get("synthetic_n", 512)),
     )
 
     fid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.FID"))

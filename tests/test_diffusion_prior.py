@@ -170,3 +170,29 @@ class TestDiffusionTrainer:
             jax.random.PRNGKey(1), max_batches=2,
         )
         assert np.isfinite(bpd)
+
+
+class TestCatFormaterEndToEnd:
+    def test_cat_formater_diffusion_pipeline(self):
+        """CatFormater -> ONE diffusion model over the concatenated latent;
+        sampling postprocesses back to L flow-shaped parts and inverts."""
+        from nfdpm_tpu.models.formaters import CatFormater
+
+        backbone = NFBackbone(cfg=GCFG, img_size=8, frozen=True)
+        flow_params = glow_m.init_glow(0, GCFG)
+        formater = CatFormater(L=GCFG.levels, in_channels=GCFG.in_channels, size=8)
+        dp = DiffusionPrior(formater=formater, unet_kwargs=UNET_KW,
+                            diffusion_kwargs=DIFF_KW)
+        assert dp.num_parts == 1
+        params = dp.init_params(0)
+
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3)) - 0.5
+        latents, _ = backbone.transform(flow_params, x)
+        losses = dp.losses(params, jax.random.PRNGKey(2), latents)
+        assert len(losses) == 1 and np.isfinite(float(losses[0]))
+
+        sampled = dp.sample_latents(params, jax.random.PRNGKey(3), 2)
+        assert [z.shape[1:] for z in sampled] == [tuple(s) for s in backbone.latent_shapes]
+        img = backbone.invert(flow_params, sampled)
+        assert img.shape == (2, 8, 8, 3)
+        assert np.all(np.isfinite(np.asarray(img)))
