@@ -288,29 +288,29 @@ class Unet(nn.Module):
         hs = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = Res(dim_in, groups)(x, t)
+            x = Res(dim_in, groups, name=f"down_{ind}_res1")(x, t)
             hs.append(x)
-            x = Res(dim_in, groups)(x, t)
+            x = Res(dim_in, groups, name=f"down_{ind}_res2")(x, t)
             x = PreNormResidual(LinearAttention())(x)
             hs.append(x)
             x = (nn.Conv(dim_out, (3, 3), padding=1)(x) if is_last
                  else Downsample(dim_out)(x))
 
         mid_dim = dims[-1]
-        x = Res(mid_dim, groups)(x, t)
+        x = Res(mid_dim, groups, name="mid_res1")(x, t)
         x = PreNormResidual(Attention())(x)
-        x = Res(mid_dim, groups)(x, t)
+        x = Res(mid_dim, groups, name="mid_res2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = Res(dim_out, groups)(x, t)
+            x = Res(dim_out, groups, name=f"up_{ind}_res1")(x, t)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = Res(dim_out, groups)(x, t)
+            x = Res(dim_out, groups, name=f"up_{ind}_res2")(x, t)
             x = PreNormResidual(LinearAttention())(x)
             x = (nn.Conv(dim_in, (3, 3), padding=1)(x) if is_last
                  else Upsample(dim_in)(x))
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = Res(self.dim, groups)(x, t)
+        x = Res(self.dim, groups, name="final_res")(x, t)
         return nn.Conv(self.effective_out_dim, (1, 1))(x)

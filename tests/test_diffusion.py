@@ -154,3 +154,34 @@ class TestLossAndSampling:
         )
         assert nll.shape == (2,)
         assert np.all(np.isfinite(np.asarray(nll)))
+
+
+class TestExtras:
+    def test_return_all_timesteps(self, tiny):
+        diff, params = tiny
+        out = jax.jit(
+            lambda p, k: diff.p_sample_loop(p, k, (2, 8, 8, 3), return_all_timesteps=True)
+        )(params, jax.random.PRNGKey(20))
+        assert out.shape == (2, T + 1, 8, 8, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_sample_given_start_shape(self, tiny):
+        diff, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(21), (2, 8, 8, 3)) * 0.1
+        out = jax.jit(lambda p, k, x: diff.sample_given_start(p, k, x))(
+            params, jax.random.PRNGKey(22), x
+        )
+        assert out.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_unet_remat_matches_no_remat(self):
+        from nfdpm_tpu.models.unet import Unet
+
+        x = jax.random.normal(jax.random.PRNGKey(23), (1, 8, 8, 3))
+        t = jnp.array([3])
+        u1 = Unet(dim=8, dim_mults=(1, 2), channels=3, resnet_block_groups=2)
+        u2 = Unet(dim=8, dim_mults=(1, 2), channels=3, resnet_block_groups=2, remat=True)
+        v = u1.init(jax.random.PRNGKey(0), x, t, None)
+        o1 = u1.apply(v, x, t, None)
+        o2 = u2.apply(v, x, t, None)  # same params work for the remat variant
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
