@@ -52,6 +52,7 @@ class NFTrainConfig:
     save_checkpoint_freq: int = 5
     log_gen_images_per_iter: int = 2
     n_samples_log: int = 8
+    log_param_distribution: bool = False  # per-epoch param histograms
     compat_three_channel_bpd: bool = True  # reference n_pixel bug, SURVEY §2
 
 
@@ -230,46 +231,56 @@ def train(
 
         data_sharding = mesh_m.data_sharding(mesh)
         log_count = 0
-        for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
-            t0 = time.time()
-            timer = StepTimer()
-            pending = []  # device scalars; fetched only at print_freq
-            for batch, _labels in prefetch_to_device(iter(loaders.train),
-                                                     sharding=data_sharding):
-                with timer.step():
-                    state, metrics = train_step(state, batch, key)
-                current_iter += 1
-                pending.append(metrics["bpd"])
+        epoch = start_epoch
+        try:
+            for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
+                t0 = time.time()
+                timer = StepTimer()
+                pending = []  # device scalars; fetched only at print_freq
+                for batch, _labels in prefetch_to_device(iter(loaders.train),
+                                                         sharding=data_sharding):
+                    with timer.step():
+                        state, metrics = train_step(state, batch, key)
+                    current_iter += 1
+                    pending.append(metrics["bpd"])
 
-                if current_iter % tcfg.print_freq == 0:
-                    avg = float(jnp.mean(jnp.stack(pending)))
-                    pending = []
-                    tracker.track(avg, "bpd", step=current_iter, epoch=epoch,
-                                  context={"subset": "train"})
-                    logger.info(f"epoch {epoch} iter {current_iter}: bpd {avg:.4f}")
-                    log_count += 1
-                    if (log_count % tcfg.log_gen_images_per_iter == 0) and epoch % 5 == 0:
-                        samples = sample_fn(state["params"], key,
-                                            tcfg.n_samples_log, tcfg.temperature,
-                                            np.int32(-current_iter))
-                        tracker.track_images(np.asarray(samples), "generated",
-                                             step=current_iter, epoch=epoch)
+                    if current_iter % tcfg.print_freq == 0:
+                        avg = float(jnp.mean(jnp.stack(pending)))
+                        pending = []
+                        tracker.track(avg, "bpd", step=current_iter, epoch=epoch,
+                                      context={"subset": "train"})
+                        logger.info(f"epoch {epoch} iter {current_iter}: bpd {avg:.4f}")
+                        log_count += 1
+                        if (log_count % tcfg.log_gen_images_per_iter == 0) and epoch % 5 == 0:
+                            samples = sample_fn(state["params"], key,
+                                                tcfg.n_samples_log, tcfg.temperature,
+                                                np.int32(-current_iter))
+                            tracker.track_images(np.asarray(samples), "generated",
+                                                 step=current_iter, epoch=epoch)
 
-            dt = time.time() - t0
-            ts = timer.summary()
-            logger.info(f"epoch {epoch} done in {dt:.1f}s "
-                        f"({len(loaders.train)/max(dt,1e-9):.2f} it/s, "
-                        f"step p50 {ts.get('p50_ms', 0):.1f}ms "
-                        f"p95 {ts.get('p95_ms', 0):.1f}ms)")
+                dt = time.time() - t0
+                ts = timer.summary()
+                logger.info(f"epoch {epoch} done in {dt:.1f}s "
+                            f"({len(loaders.train)/max(dt,1e-9):.2f} it/s, "
+                            f"step p50 {ts.get('p50_ms', 0):.1f}ms "
+                            f"p95 {ts.get('p95_ms', 0):.1f}ms)")
+                if tcfg.log_param_distribution:
+                    tracker.track_param_distributions(state["params"],
+                                                      step=current_iter, epoch=epoch)
 
-            if epoch % tcfg.save_checkpoint_freq == 0:
-                if evaluate_fn is not None:
-                    evaluate_fn(sample_fn, state["params"], epoch)
-                save_state(run_dir, "gaussian", epoch, state)
-                samples = sample_fn(state["params"], key, 64, tcfg.temperature,
-                                    np.int32(epoch))
-                tracker.track_images(np.asarray(samples), "checkpoint_samples",
-                                     step=current_iter, epoch=epoch)
+                if epoch % tcfg.save_checkpoint_freq == 0:
+                    if evaluate_fn is not None:
+                        evaluate_fn(sample_fn, state["params"], epoch)
+                    save_state(run_dir, "gaussian", epoch, state)
+                    samples = sample_fn(state["params"], key, 64, tcfg.temperature,
+                                        np.int32(epoch))
+                    tracker.track_images(np.asarray(samples), "checkpoint_samples",
+                                         step=current_iter, epoch=epoch)
+
+        except KeyboardInterrupt:
+            save_state(run_dir, "gaussian", epoch, state)
+            logger.warning(f"Interrupted — emergency checkpoint at epoch {epoch}")
+            raise
 
         final_epoch = start_epoch + tcfg.epochs
         save_state(run_dir, "gaussian", final_epoch, state)

@@ -58,6 +58,28 @@ class Tracker:
             except Exception:
                 pass
 
+    def track_param_distributions(
+        self,
+        params,
+        step: Optional[int] = None,
+        epoch: Optional[int] = None,
+        bins: int = 32,
+    ) -> None:
+        """Per-leaf histograms of the model parameters (the reference's
+        log_param_distribution Aim histograms, normalizing_flow/trainer.py
+        logging section), stored as {edges, counts} JSONL records."""
+        import jax
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            arr = np.asarray(leaf).ravel()
+            if arr.size == 0 or not np.issubdtype(arr.dtype, np.floating):
+                continue
+            counts, edges = np.histogram(arr, bins=bins)
+            name = "/".join(str(getattr(k, "key", getattr(k, "name", k)))
+                            for k in path)
+            self.track({"edges": edges.tolist(), "counts": counts.tolist()},
+                       name=f"param_dist/{name}", step=step, epoch=epoch)
+
     def track_images(
         self,
         images: np.ndarray,

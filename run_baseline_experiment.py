@@ -56,6 +56,7 @@ def main(argv):
         print_freq=int(tr.print_freq),
         save_checkpoint_freq=int(tr.save_checkpoint_freq),
         log_gen_images_per_iter=int(cfg.model.logging.log_gen_images_per_iter),
+        log_param_distribution=bool(cfg.model.logging.get("log_param_distribution", False)),
     )
 
     loaders = read_dataset(
