@@ -58,11 +58,19 @@ def _plain(x: Any) -> Any:
 
 
 def _parse_value(s: str) -> Any:
-    """YAML-typed scalar parsing: ints, floats, bools, null, lists."""
+    """YAML-typed scalar parsing: ints, floats, bools, null, lists.
+    YAML 1.1 does not treat '1e-3' (no dot) as a float — Hydra does, so we
+    post-process scientific-notation strings."""
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except yaml.YAMLError:
         return s
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def load_config(path: str, overrides: Optional[List[str]] = None) -> Config:

@@ -1,0 +1,106 @@
+"""Utils tests: config system (YAML + dotted overrides + run dirs),
+parse_metric, tracking (scalars, images, histograms), profiling timer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from nfdpm_tpu.utils.config import Config, load_config, make_run_dir, parse_metric
+
+
+@pytest.fixture()
+def cfg_file(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump({
+        "experiment_name": "t",
+        "data": {"name": "MNIST", "batch_size": 64, "digits": None},
+        "model": {"architecture": {"L": 3, "K": 4},
+                  "optimizer": {"lr": 1e-3}},
+    }))
+    return str(p)
+
+
+class TestConfig:
+    def test_dotted_overrides(self, cfg_file):
+        cfg = load_config(cfg_file, [
+            "data.name=cifar10", "model.architecture.L=5",
+            "model.optimizer.lr=5e-4", "data.digits=[0,1]",
+            "data.transformations=[RandomHorizontalFlip]",
+        ])
+        assert cfg.data.name == "cifar10"
+        assert cfg.model.architecture.L == 5
+        assert cfg.model.optimizer.lr == 5e-4
+        assert cfg.data.digits == [0, 1]
+        assert cfg.data.transformations == ["RandomHorizontalFlip"]
+
+    def test_select_with_default(self, cfg_file):
+        cfg = load_config(cfg_file)
+        assert cfg.select("model.architecture.K") == 4
+        assert cfg.select("nope.nope", 7) == 7
+
+    def test_attribute_access_nested(self, cfg_file):
+        cfg = load_config(cfg_file)
+        assert isinstance(cfg.model.architecture, Config)
+        with pytest.raises(AttributeError):
+            _ = cfg.missing_key
+
+    def test_run_dir_templating(self, cfg_file, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = load_config(cfg_file)
+        rd = make_run_dir(cfg)
+        assert os.path.basename(rd).startswith("t_")
+        assert os.path.exists(os.path.join(rd, "config.yaml"))
+        assert os.path.isdir(os.path.join(rd, "checkpoints"))
+
+    def test_parse_metric_zip(self):
+        out = parse_metric({"mode": ["clean", "legacy_tensorflow"],
+                            "model_name": ["inception_v3", "clip_vit_b_32"]})
+        assert out == [
+            {"mode": "clean", "model_name": "inception_v3"},
+            {"mode": "legacy_tensorflow", "model_name": "clip_vit_b_32"},
+        ]
+        assert parse_metric(None) == []
+        assert parse_metric({"mode": [], "model_name": []}) == []
+
+
+class TestTracking:
+    def test_scalars_and_histograms(self, tmp_path):
+        from nfdpm_tpu.training.tracking import Tracker
+
+        t = Tracker(str(tmp_path))
+        t.track(1.5, "loss", step=1, epoch=1, context={"subset": "train"})
+        t.track_param_distributions({"w": np.random.default_rng(0).normal(size=100)})
+        t.close()
+        recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        assert recs[0]["name"] == "loss" and recs[0]["value"] == 1.5
+        hist = [r for r in recs if r["name"].startswith("param_dist/")][0]
+        assert sum(hist["value"]["counts"]) == 100
+
+    def test_image_grid(self, tmp_path):
+        from nfdpm_tpu.training.tracking import save_image_grid
+
+        imgs = np.random.default_rng(0).integers(0, 256, (10, 8, 8, 3)).astype(np.uint8)
+        path = str(tmp_path / "g.png")
+        save_image_grid(imgs, path)
+        from PIL import Image
+
+        g = Image.open(path)
+        assert g.size[0] > 8 and g.size[1] > 8
+
+
+class TestProfiling:
+    def test_step_timer_summary(self):
+        import time
+
+        from nfdpm_tpu.utils.profiling import StepTimer
+
+        t = StepTimer()
+        for _ in range(5):
+            with t.step():
+                time.sleep(0.001)
+        s = t.summary()
+        assert s["steps"] == 4  # warmup skipped
+        assert s["p50_ms"] >= 1.0
