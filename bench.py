@@ -34,7 +34,8 @@ def main():
 
     from nfdpm_tpu.models import glow as glow_m
 
-    cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4, coupling_width=512)
+    cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4, coupling_width=512,
+                        scan_unroll=4)
     params = jax.device_put(glow_m.init_glow(0, cfg))
     x0 = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 32, 3), jnp.float32) - 0.5
 
