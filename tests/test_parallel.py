@@ -80,3 +80,35 @@ def test_inverse_under_tp_mesh():
         latents, ldj, logp = fwd(params, x)
         inv = jax.jit(lambda p, l: glow_m.inverse(p, CFG, l))(params, latents)
         np.testing.assert_allclose(np.asarray(inv), np.asarray(x), atol=2e-3)
+
+
+def test_unet_tp_matches_single_device():
+    """UNet forward + diffusion loss identical whether params are replicated
+    on 1 device or TP-sharded on a (data=4, model=2) mesh."""
+    from nfdpm_tpu.models.diffusion import DiffusionConfig, GaussianDiffusion
+    from nfdpm_tpu.models.unet import Unet
+    from nfdpm_tpu.parallel.sharding_rules import shard_unet_params
+
+    unet = Unet(dim=16, dim_mults=(1, 2), channels=3, resnet_block_groups=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    t = jnp.zeros((8,), jnp.int32)
+    variables = unet.init(jax.random.PRNGKey(1), x, t, None)
+    params = variables["params"]
+
+    def apply_fn(p, x, t, sc):
+        return unet.apply({"params": p}, x, t, sc)
+
+    cfg = DiffusionConfig(image_size=8, channels=3, timesteps=10,
+                          beta_schedule="cosine", auto_normalize=False,
+                          loss_type="l2")
+    diff = GaussianDiffusion(apply_fn, cfg)
+    loss_fn = jax.jit(lambda p, x: diff.loss(p, jax.random.PRNGKey(2), x))
+
+    l1 = float(loss_fn(params, x))
+
+    mesh = mesh_m.make_mesh(n_data=4, n_model=2)
+    with mesh:
+        sp = shard_unet_params(mesh, params)
+        sx = mesh_m.shard_batch(mesh, x)
+        l2 = float(loss_fn(sp, sx))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
