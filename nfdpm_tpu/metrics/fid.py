@@ -49,14 +49,34 @@ def resize_batch(images: np.ndarray, size: int, mode: str) -> np.ndarray:
             out[i] = r[..., None] if im.shape[-1] == 1 else r
         return out
     elif mode == "legacy_tensorflow":
-        import jax
-        import jax.numpy as jnp
-
-        x = jnp.asarray(images, jnp.float32)
-        y = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), "bilinear",
-                             antialias=False)
-        return np.asarray(y)
+        return tf1_bilinear_resize(images.astype(np.float32), size)
     raise ValueError(f"Unknown resize mode: {mode}")
+
+
+def tf1_bilinear_resize(images: np.ndarray, size: int) -> np.ndarray:
+    """TF1 `tf.image.resize_bilinear(align_corners=False)` semantics: source
+    coordinate = out_idx * (in/out), clamped — NOT half-pixel centers (which
+    TF2/jax.image use). clean-fid's legacy_tensorflow mode reproduces the
+    original TF-FID graph, so exactness matters here."""
+    import jax
+    import jax.numpy as jnp
+
+    n, h, w, c = images.shape
+    scale_h, scale_w = h / size, w / size
+    ys = np.arange(size, dtype=np.float64) * scale_h
+    xs = np.arange(size, dtype=np.float64) * scale_w
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)
+    wx = (xs - x0).astype(np.float32)
+
+    x_j = jnp.asarray(images, jnp.float32)
+    top = x_j[:, y0][:, :, x0] * (1 - wx)[None, None, :, None]         + x_j[:, y0][:, :, x1] * wx[None, None, :, None]
+    bot = x_j[:, y1][:, :, x0] * (1 - wx)[None, None, :, None]         + x_j[:, y1][:, :, x1] * wx[None, None, :, None]
+    out = top * (1 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    return np.asarray(out)
 
 
 def _to_rgb(images: np.ndarray) -> np.ndarray:

@@ -338,7 +338,7 @@ class GaussianDiffusion:
         return self.unnormalize(img)
 
     # -- DDIM sampling as ONE scan (gaussian_diffusion.py:735-777) --------
-    def ddim_sample(self, params, key, shape):
+    def ddim_sample(self, params, key, shape, return_all_timesteps: bool = False):
         eta = self.cfg.ddim_sampling_eta
         times = np.linspace(-1, self.num_timesteps - 1, self.sampling_timesteps + 1)
         times = list(reversed(times.astype(int).tolist()))
@@ -366,11 +366,14 @@ class GaussianDiffusion:
             c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma ** 2, 0.0))
             noise = jax.random.normal(jax.random.fold_in(k_loop, i), shape)
             img = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
-            return (img, x_start, i + 1), None
+            return (img, x_start, i + 1), (img if return_all_timesteps else None)
 
-        (img, _, _), _ = jax.lax.scan(
+        (img, _, _), traj = jax.lax.scan(
             body, (img0, jnp.zeros(shape), jnp.int32(0)), jnp.asarray(pairs)
         )
+        if return_all_timesteps:
+            all_imgs = jnp.concatenate([img0[None], traj], axis=0)
+            return self.unnormalize(jnp.swapaxes(all_imgs, 0, 1))
         return self.unnormalize(img)
 
     def sample_given_start(self, params, key, x_start):
@@ -399,11 +402,7 @@ class GaussianDiffusion:
                return_all_timesteps: bool = False):
         shape = (batch_size, self.cfg.image_size, self.cfg.image_size, self.cfg.channels)
         if self.is_ddim_sampling:
-            if return_all_timesteps:
-                raise NotImplementedError(
-                    "trajectory output is supported for the ancestral sampler"
-                )
-            return self.ddim_sample(params, key, shape)
+            return self.ddim_sample(params, key, shape, return_all_timesteps)
         return self.p_sample_loop(params, key, shape, return_all_timesteps)
 
     # -- interpolation (gaussian_diffusion.py:785-804) --------------------

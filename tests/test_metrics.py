@@ -164,3 +164,24 @@ class TestEndToEnd:
         assert "FID_clean_inception" in metrics and np.isfinite(metrics["FID_clean_inception"])
         assert "KID_clean_inception" in metrics and np.isfinite(metrics["KID_clean_inception"])
         assert np.isfinite(metrics["SSIM"]) and np.isfinite(metrics["PSNR"])
+
+
+class TestTF1Resize:
+    def test_tf1_bilinear_known_values(self):
+        """2x2 -> 4x4 with TF1 semantics: src = out_idx * 0.5, floor-clamped.
+        Row 0 of the output samples src rows 0/0.5/1/1.5."""
+        img = np.array([[0.0, 2.0], [4.0, 6.0]], np.float32).reshape(1, 2, 2, 1)
+        out = fid_m.tf1_bilinear_resize(img, 4)[0, :, :, 0]
+        # x coords: 0, .5, 1, 1.5(clamped pair idx 1,1) -> row0: 0, 1, 2, 2
+        np.testing.assert_allclose(out[0], [0, 1, 2, 2], atol=1e-6)
+        # y likewise: col0: 0, 2, 4, 4
+        np.testing.assert_allclose(out[:, 0], [0, 2, 4, 4], atol=1e-6)
+
+    def test_tf1_differs_from_half_pixel(self):
+        import jax
+
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+        tf1 = fid_m.tf1_bilinear_resize(img, 16)
+        hp = np.asarray(jax.image.resize(img, (1, 16, 16, 3), "bilinear"))
+        assert np.abs(tf1 - hp).max() > 1e-3  # genuinely different conventions
