@@ -267,9 +267,10 @@ class GaussianDiffusion:
         return mean, var, logvar, x_start
 
     # -- training loss (gaussian_diffusion.py:823-867) --------------------
-    def p_losses(self, params, key, x_start, t):
+    def p_losses(self, params, key, x_start, t, noise=None):
         k_noise, k_sc, k_scdrop = jax.random.split(key, 3)
-        noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+        if noise is None:
+            noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
         x = self.q_sample(x_start, t, noise)
 
         x_self_cond = None

@@ -28,8 +28,8 @@ Design notes (TPU-first, not a port):
   * All log-det accumulation is fp32 (the reference accumulates in fp64 on
     CUDA; fp64 is unavailable/slow on TPU — parity tests bound the error).
   * The 1x1 conv is executed as a single [B*H*W, C] x [C, C] matmul on the
-    MXU; actnorm folds into it at apply time in the fused path (see
-    ops/fused.py).
+    MXU; actnorm folds into it algebraically at apply time
+    (fused_actnorm_invconv_forward below).
 
 Reference formula citations are inline below.
 """

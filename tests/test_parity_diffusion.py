@@ -1,0 +1,178 @@
+"""DDPM math parity vs the PyTorch reference's GaussianDiffusion on
+identical inputs, using a deterministic stub denoiser on both sides
+(isolates the schedule/posterior/objective/VLB formulas from the UNet).
+
+Skipped when /root/reference or torch is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "diffusion_prior")),
+    reason="reference repo not mounted",
+)
+torch = pytest.importorskip("torch")
+
+T = 20
+SHAPE = (2, 3, 8, 8)  # torch NCHW
+
+
+@pytest.fixture(scope="module")
+def ref_gd():
+    """Load the reference gaussian_diffusion module with a stub torch model."""
+    import importlib.util
+
+    for name in ("tqdm", "tqdm.auto"):
+        m = types.ModuleType(name)
+        m.tqdm = lambda x, **k: x
+        sys.modules.setdefault(name, m)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_gd", os.path.join(REF, "diffusion_prior", "gaussian_diffusion.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_gd"] = mod
+    spec.loader.exec_module(mod)
+
+    class StubModel(torch.nn.Module):
+        """Deterministic denoiser: out = 0.1*x + 0.01*t (broadcast)."""
+
+        channels = 3
+        out_dim = 3
+        self_condition = False
+        random_or_learned_sinusoidal_cond = False
+
+        def forward(self, x, t, x_self_cond=None):
+            return 0.1 * x + 0.01 * t.float().reshape(-1, 1, 1, 1)
+
+    gd = mod.GaussianDiffusion(
+        StubModel(), image_size=8, timesteps=T, sampling_timesteps=T,
+        loss_type="l2", objective="pred_noise", beta_schedule="cosine",
+        ddim_sampling_eta=1.0, auto_normalize=False,
+    )
+    return mod, gd
+
+
+@pytest.fixture(scope="module")
+def jax_gd():
+    from nfdpm_tpu.models.diffusion import DiffusionConfig, GaussianDiffusion
+
+    def stub_apply(params, x, t, sc):
+        import jax.numpy as jnp
+
+        return 0.1 * x + 0.01 * t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+
+    cfg = DiffusionConfig(image_size=8, channels=3, timesteps=T,
+                          loss_type="l2", objective="pred_noise",
+                          beta_schedule="cosine", ddim_sampling_eta=1.0,
+                          auto_normalize=False)
+    return GaussianDiffusion(stub_apply, cfg)
+
+
+def nhwc(t):
+    return np.asarray(t.detach().numpy()).transpose(0, 2, 3, 1)
+
+
+def test_schedule_constants_match(ref_gd, jax_gd):
+    _, gd = ref_gd
+    s = jax_gd.sched
+    for name in ("betas", "alphas_cumprod", "sqrt_alphas_cumprod",
+                 "sqrt_one_minus_alphas_cumprod", "posterior_variance",
+                 "posterior_log_variance_clipped", "posterior_mean_coef1",
+                 "posterior_mean_coef2", "p2_loss_weight"):
+        ref = getattr(gd, name).numpy()
+        np.testing.assert_allclose(getattr(s, name), ref, rtol=1e-5, atol=1e-7,
+                                   err_msg=name)
+
+
+def test_q_sample_and_posterior_match(ref_gd, jax_gd):
+    import jax.numpy as jnp
+
+    _, gd = ref_gd
+    torch.manual_seed(0)
+    x0_t = torch.randn(SHAPE)
+    noise_t = torch.randn(SHAPE)
+    t_t = torch.tensor([3, 17])
+    xt_t = gd.q_sample(x0_t, t_t, noise_t)
+    mean_t, var_t, logvar_t = gd.q_posterior(x0_t, xt_t, t_t)
+
+    x0 = jnp.asarray(nhwc(x0_t))
+    noise = jnp.asarray(nhwc(noise_t))
+    tt = jnp.array([3, 17])
+    xt = jax_gd.q_sample(x0, tt, noise)
+    np.testing.assert_allclose(np.asarray(xt), nhwc(xt_t), rtol=1e-5, atol=1e-6)
+    mean, var, logvar = jax_gd.q_posterior(x0, xt, tt)
+    np.testing.assert_allclose(np.asarray(mean), nhwc(mean_t), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logvar).ravel(),
+                               logvar_t.numpy().ravel(), rtol=1e-5, atol=1e-6)
+
+
+def test_p_mean_variance_match(ref_gd, jax_gd):
+    import jax.numpy as jnp
+
+    _, gd = ref_gd
+    torch.manual_seed(1)
+    x_t = torch.randn(SHAPE)
+    t_t = torch.tensor([5, 12])
+    with torch.no_grad():
+        mean_t, _, logvar_t, x0_t = gd.p_mean_variance(x_t, t_t, clip_denoised=True)
+
+    x = jnp.asarray(nhwc(x_t))
+    mean, _, logvar, x0 = jax_gd.p_mean_variance(None, x, jnp.array([5, 12]),
+                                                 clip_denoised=True)
+    np.testing.assert_allclose(np.asarray(x0), nhwc(x0_t), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), nhwc(mean_t), rtol=1e-4, atol=1e-5)
+
+
+def test_p_losses_match_with_fixed_noise(ref_gd, jax_gd):
+    import jax
+    import jax.numpy as jnp
+
+    _, gd = ref_gd
+    torch.manual_seed(2)
+    x0_t = torch.randn(SHAPE)
+    noise_t = torch.randn(SHAPE)
+    t_t = torch.tensor([4, 15])
+    loss_t = float(gd.p_losses(x0_t, t_t, noise=noise_t))
+
+    loss_j = float(jax_gd.p_losses(
+        None, jax.random.PRNGKey(0), jnp.asarray(nhwc(x0_t)),
+        jnp.array([4, 15]), noise=jnp.asarray(nhwc(noise_t)),
+    ))
+    np.testing.assert_allclose(loss_j, loss_t, rtol=1e-5)
+
+
+def test_vb_terms_match(ref_gd, jax_gd):
+    import jax.numpy as jnp
+
+    mod, gd = ref_gd
+    torch.manual_seed(3)
+    x0_t = torch.randn(SHAPE) * 0.3
+    xt_t = torch.randn(SHAPE)
+    for tv in (0, 7, T - 1):
+        t_t = torch.tensor([tv, tv])
+        with torch.no_grad():
+            vb_t = gd._vb_terms_bpd(x_start=x0_t, x_t=xt_t, t=t_t)
+        vb_j = jax_gd._vb_terms_bpd(
+            None, jnp.asarray(nhwc(x0_t)), jnp.asarray(nhwc(xt_t)),
+            jnp.array([tv, tv]),
+        )
+        np.testing.assert_allclose(np.asarray(vb_j), vb_t.numpy(),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"t={tv}")
+
+
+def test_prior_bpd_match(ref_gd, jax_gd):
+    import jax.numpy as jnp
+
+    _, gd = ref_gd
+    torch.manual_seed(4)
+    x0_t = torch.randn(SHAPE) * 0.5
+    ref = gd._prior_bpd(x0_t).numpy()
+    got = np.asarray(jax_gd._prior_bpd(jnp.asarray(nhwc(x0_t))))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
