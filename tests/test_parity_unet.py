@@ -1,0 +1,89 @@
+"""UNet parity vs the PyTorch reference on identical imported weights:
+same (x, t) input -> same output, across configurations."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "diffusion_prior")),
+    reason="reference repo not mounted",
+)
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    import importlib.util
+
+    for name in ("tqdm", "tqdm.auto"):
+        m = types.ModuleType(name)
+        m.tqdm = lambda x, **k: x
+        sys.modules.setdefault(name, m)
+    spec = importlib.util.spec_from_file_location(
+        "ref_gd2", os.path.join(REF, "diffusion_prior", "gaussian_diffusion.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_gd2"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("dim,mults,channels,groups", [
+    (8, (1, 2), 3, 2),
+    (8, (1, 2, 4), 6, 4),
+])
+def test_unet_output_parity(ref_mod, dim, mults, channels, groups):
+    import jax.numpy as jnp
+
+    from nfdpm_tpu.models.unet import Unet
+    from nfdpm_tpu.utils.unet_import import import_unet_state_dict
+
+    torch.manual_seed(0)
+    tmodel = ref_mod.Unet(dim=dim, dim_mults=mults, channels=channels,
+                          resnet_block_groups=groups)
+    tmodel.eval()
+
+    size = 16
+    x_t = torch.randn(2, channels, size, size)
+    t_t = torch.tensor([3, 11])
+    with torch.no_grad():
+        out_t = tmodel(x_t, t_t)
+
+    jmodel = Unet(dim=dim, dim_mults=mults, channels=channels,
+                  resnet_block_groups=groups)
+    params = import_unet_state_dict(tmodel.state_dict(), len(mults))
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    out_j = jmodel.apply({"params": params}, x_j, jnp.array([3, 11]), None)
+
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_imported_tree_structure_matches_init(ref_mod):
+    """The imported tree has exactly the leaves flax init produces."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfdpm_tpu.models.unet import Unet
+    from nfdpm_tpu.utils.unet_import import import_unet_state_dict
+
+    torch.manual_seed(1)
+    tmodel = ref_mod.Unet(dim=8, dim_mults=(1, 2), channels=3, resnet_block_groups=2)
+    imported = import_unet_state_dict(tmodel.state_dict(), 2)
+
+    jmodel = Unet(dim=8, dim_mults=(1, 2), channels=3, resnet_block_groups=2)
+    ref_tree = jmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.zeros((1,), jnp.int32), None)["params"]
+
+    flat_a = {"/".join(map(str, [getattr(k, 'key', k) for k in p])): v.shape
+              for p, v in jax.tree_util.tree_flatten_with_path(imported)[0]}
+    flat_b = {"/".join(map(str, [getattr(k, 'key', k) for k in p])): v.shape
+              for p, v in jax.tree_util.tree_flatten_with_path(ref_tree)[0]}
+    assert flat_a == flat_b
