@@ -20,12 +20,14 @@ Methodology notes:
 """
 
 import json
+import os
 import sys
 import time
 
 REFERENCE_CPU_IMAGES_PER_SEC = 19.0
-BATCH = 64
-CHAIN = 50
+BATCH = int(os.environ.get("NFDPM_BENCH_BATCH", "64"))
+CHAIN = int(os.environ.get("NFDPM_BENCH_CHAIN", "50"))
+WIDTH = int(os.environ.get("NFDPM_BENCH_WIDTH", "512"))
 
 
 def main():
@@ -34,8 +36,8 @@ def main():
 
     from nfdpm_tpu.models import glow as glow_m
 
-    cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4, coupling_width=512,
-                        scan_unroll=4)
+    cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4,
+                            coupling_width=WIDTH, scan_unroll=4)
     params = jax.device_put(glow_m.init_glow(0, cfg))
     x0 = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 32, 3), jnp.float32) - 0.5
 
