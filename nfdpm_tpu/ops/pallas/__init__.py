@@ -1,3 +1,3 @@
 """Pallas TPU kernels for the hot fused ops."""
 
-from . import channel_mix  # noqa: F401
+from . import channel_mix, coupling_tail  # noqa: F401

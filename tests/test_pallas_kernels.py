@@ -44,3 +44,44 @@ def test_channel_mix_nonsquare():
     ref = jnp.einsum("bhwc,oc->bhwo", x, w)
     out = channel_mix(x, w, b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+class TestCouplingTail:
+    def _ref(self, ls, b, xb):
+        s = jax.nn.sigmoid(ls + 2.0)
+        y = (xb + b) * s
+        ldj = jnp.sum(jnp.log(s + 1e-6).reshape(xb.shape[0], -1), axis=1)
+        return y, ldj
+
+    def test_matches_reference_formula(self):
+        k = jax.random.PRNGKey(0)
+        ls = jax.random.normal(jax.random.fold_in(k, 0), (3, 4, 4, 6)) * 0.5
+        b = jax.random.normal(jax.random.fold_in(k, 1), (3, 4, 4, 6))
+        xb = jax.random.normal(jax.random.fold_in(k, 2), (3, 4, 4, 6))
+        from nfdpm_tpu.ops.pallas.coupling_tail import coupling_tail
+
+        y, ldj = coupling_tail(ls, b, xb, True)
+        y_r, ldj_r = self._ref(ls, b, xb)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_r), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ldj), np.asarray(ldj_r), rtol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        k = jax.random.PRNGKey(1)
+        ls = jax.random.normal(jax.random.fold_in(k, 0), (2, 2, 2, 4)) * 0.3
+        b = jax.random.normal(jax.random.fold_in(k, 1), (2, 2, 2, 4))
+        xb = jax.random.normal(jax.random.fold_in(k, 2), (2, 2, 2, 4))
+        from nfdpm_tpu.ops.pallas.coupling_tail import coupling_tail
+
+        def loss_kernel(ls, b, xb):
+            y, ldj = coupling_tail(ls, b, xb, True)
+            return jnp.sum(y ** 2) + jnp.sum(ldj * 1.3)
+
+        def loss_ref(ls, b, xb):
+            y, ldj = self._ref(ls, b, xb)
+            return jnp.sum(y ** 2) + jnp.sum(ldj * 1.3)
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(ls, b, xb)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(ls, b, xb)
+        for a, r in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-6)
