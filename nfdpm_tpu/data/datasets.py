@@ -30,7 +30,7 @@ import gzip
 import os
 import pickle
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

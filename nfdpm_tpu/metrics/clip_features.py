@@ -18,7 +18,6 @@ values comparable only with real weights — no network in this environment).
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

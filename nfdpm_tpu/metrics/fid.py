@@ -19,7 +19,7 @@ Clean-fid-compatible pipeline (reference integration:
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 

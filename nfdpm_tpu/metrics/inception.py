@@ -20,7 +20,7 @@ only clean-fid-comparable once real weights are supplied.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ train step, letting XLA schedule the (independent) part subgraphs together.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

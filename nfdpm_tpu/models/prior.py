@@ -12,7 +12,7 @@ two vectors directly — same math, no dead conv weights (and no crash when
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

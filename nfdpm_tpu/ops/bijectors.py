@@ -36,7 +36,6 @@ Reference formula citations are inline below.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

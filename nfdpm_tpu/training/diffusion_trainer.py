@@ -33,7 +33,6 @@ import numpy as np
 import optax
 
 from ..data.pipeline import DatasetLoaders, Loader
-from ..models import glow as glow_m
 from ..models.diffusion_prior import DiffusionPrior
 from ..models.nf_backbone import NFBackbone
 from ..ops import quantize as q

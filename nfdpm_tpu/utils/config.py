@@ -9,7 +9,6 @@ features the reference actually uses.
 
 from __future__ import annotations
 
-import copy
 import datetime
 import os
 from typing import Any, Dict, List, Optional

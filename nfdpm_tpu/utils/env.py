@@ -16,8 +16,6 @@ import logging
 import os
 import platform
 import sys
-from typing import Tuple
-
 import numpy as np
 
 
