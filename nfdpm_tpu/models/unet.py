@@ -206,21 +206,17 @@ class PreNormResidual(nn.Module):
         return x + self.fn(ChannelLayerNorm()(x))
 
 
-def _space_to_depth(x):
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4)
-    return x.reshape(b, h // 2, w // 2, c * 4)
-
-
 class Downsample(nn.Module):
-    """space-to-depth + 1x1 conv (gaussian_diffusion.py:176-179)."""
+    """space-to-depth + 1x1 conv (gaussian_diffusion.py:176-179). The
+    space-to-depth uses the flow's squeeze (identical channel order)."""
 
     dim_out: int
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.dim_out, (1, 1))(_space_to_depth(x))
+        from ..ops.bijectors import squeeze_forward
+
+        return nn.Conv(self.dim_out, (1, 1))(squeeze_forward(x))
 
 
 class Upsample(nn.Module):
