@@ -95,22 +95,29 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx):
 
 def make_eval_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig):
     """Jitted per-batch eval: returns per-example BPD [B] (single-sample
-    dequantization, matching reference calculate_bpd)."""
+    dequantization, matching reference calculate_bpd). The log-likelihood
+    is exposed as `eval_step.ll` for multi-draw IWAE combination."""
     n_bins = q.n_bins_of(tcfg.n_bits)
 
     @jax.jit
-    def eval_step(params, batch, base_key, salt):
+    def ll_step(params, batch, base_key, salt):
         key = jax.random.fold_in(base_key, salt)
         x = q.preprocess(batch, tcfg.n_bits)
         x = q.dequantize(key, x, tcfg.n_bits)
         latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
         logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
-        ll = ldj + logp
+        return ldj + logp
+
+    def eval_step(params, batch, base_key, salt):
+        ll = ll_step(params, batch, base_key, salt)
         n_pixel = prior_m.n_pixels(
             batch.shape[1], batch.shape[-1], tcfg.compat_three_channel_bpd
         )
         return (np.log(n_bins) * n_pixel - ll) * (np.log2(np.e) / n_pixel)
 
+    eval_step.ll = ll_step
+    eval_step.n_bins = n_bins
+    eval_step.compat = tcfg.compat_three_channel_bpd
     return eval_step
 
 
@@ -146,20 +153,36 @@ def init_train_state(
 
 
 def calculate_bpd(eval_step, params, loader: Loader, key: jax.Array,
-                  n_dequant_samples: int = 1) -> float:
+                  n_dequant_samples: int = 1, iwae: bool = False) -> float:
     """Mean BPD over a loader (reference calculate_bpd, trainer.py:21-55),
     with padded static-shape batches (pad examples masked out). The per-batch
     key salt is a traced arg — no host-side key ops in the loop.
-    `n_dequant_samples > 1` averages BPD over multiple dequantization draws
-    (the reference's single-draw "importance sampling" generalized)."""
+
+    `n_dequant_samples > 1` tightens the dequantization bound with multiple
+    uniform draws: `iwae=False` averages the per-draw BPD bounds (mean of
+    bounds); `iwae=True` uses the importance-weighted estimator
+    log (1/K) sum_k p(x + u_k) = logsumexp(ll_k) - log K, the tighter bound
+    (the reference's docstring promises importance sampling but draws once)."""
     total, count = 0.0, 0
     for i, (imgs, _labels, n_valid) in enumerate(loader.padded_batches()):
         batch = jnp.asarray(imgs)
-        acc = 0.0
-        for r in range(n_dequant_samples):
-            bpds = eval_step(params, batch, key, np.int32(i * 131 + r))
-            acc = acc + jnp.sum(bpds[:n_valid])
-        total += float(acc) / n_dequant_samples
+        n_pixel = prior_m.n_pixels(batch.shape[1], batch.shape[-1], eval_step.compat)
+        bpd_of_ll = lambda ll: (np.log(eval_step.n_bins) * n_pixel - ll) * (
+            np.log2(np.e) / n_pixel
+        )
+        if iwae and n_dequant_samples > 1:
+            lls = jnp.stack([
+                eval_step.ll(params, batch, key, np.int32(i * 131 + r))
+                for r in range(n_dequant_samples)
+            ])
+            ll = jax.scipy.special.logsumexp(lls, axis=0) - np.log(n_dequant_samples)
+            total += float(jnp.sum(bpd_of_ll(ll)[:n_valid]))
+        else:
+            acc = 0.0
+            for r in range(n_dequant_samples):
+                bpds = eval_step(params, batch, key, np.int32(i * 131 + r))
+                acc = acc + jnp.sum(bpds[:n_valid])
+            total += float(acc) / n_dequant_samples
         count += n_valid
     return total / max(count, 1)
 

@@ -89,3 +89,22 @@ def test_data_parallel_matches_single_device():
         ),
         s1["params"], s8["params"],
     )
+
+
+def test_iwae_bpd_tighter_or_equal():
+    """The IWAE multi-draw bound is never worse (higher) than the mean of
+    single-draw bounds, up to noise."""
+    from nfdpm_tpu.data.pipeline import read_dataset
+
+    loaders = read_dataset("synthetic", root="", batch_size=8, img_size=8,
+                           synthetic_fallback=True, synthetic_n=16)
+    tx = make_optimizer("adam", 1e-3)
+    state = nft.init_train_state(0, CFG, TCFG, tx)
+    eval_step = nft.make_eval_step(CFG, TCFG)
+    key = jax.random.PRNGKey(0)
+    mean_bpd = nft.calculate_bpd(eval_step, state["params"], loaders.test, key,
+                                 n_dequant_samples=4, iwae=False)
+    iwae_bpd = nft.calculate_bpd(eval_step, state["params"], loaders.test, key,
+                                 n_dequant_samples=4, iwae=True)
+    assert np.isfinite(mean_bpd) and np.isfinite(iwae_bpd)
+    assert iwae_bpd <= mean_bpd + 1e-3
