@@ -101,3 +101,92 @@ class TestLoader:
         import jax
 
         assert isinstance(out[0][0], jax.Array)
+
+
+class TestDatasetReaders:
+    """On-disk format parsing: construct tiny files in each dataset's real
+    layout and read them back."""
+
+    def test_mnist_idx_roundtrip(self, tmp_path):
+        import gzip
+        import struct
+
+        from nfdpm_tpu.data.datasets import read_mnist
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (7, 28, 28)).astype(np.uint8)
+        labels = rng.integers(0, 10, 7).astype(np.uint8)
+        raw = tmp_path / "MNIST" / "raw"
+        raw.mkdir(parents=True)
+        with gzip.open(raw / "train-images-idx3-ubyte.gz", "wb") as f:
+            f.write(struct.pack(">IIII", 0x803, 7, 28, 28) + imgs.tobytes())
+        with gzip.open(raw / "train-labels-idx1-ubyte.gz", "wb") as f:
+            f.write(struct.pack(">II", 0x801, 7) + labels.tobytes())
+        ds = read_mnist(str(tmp_path), "train")
+        assert ds.images.shape == (7, 28, 28, 1)
+        np.testing.assert_array_equal(ds.images[..., 0], imgs)
+        np.testing.assert_array_equal(ds.labels, labels)
+        # digit filtering
+        keep = [int(labels[0])]
+        ds2 = read_mnist(str(tmp_path), "train", digits=keep)
+        assert set(ds2.labels.tolist()) <= set(keep)
+
+    def test_cifar10_pickle_roundtrip(self, tmp_path):
+        import pickle
+
+        from nfdpm_tpu.data.datasets import read_cifar10
+
+        rng = np.random.default_rng(1)
+        base = tmp_path / "cifar10" / "cifar-10-batches-py"
+        base.mkdir(parents=True)
+        all_imgs = []
+        for i in range(1, 6):
+            data = rng.integers(0, 256, (4, 3 * 32 * 32)).astype(np.uint8)
+            all_imgs.append(data)
+            with open(base / f"data_batch_{i}", "wb") as f:
+                pickle.dump({b"data": data, b"labels": [i % 10] * 4}, f)
+        ds = read_cifar10(str(tmp_path), "train")
+        assert ds.images.shape == (20, 32, 32, 3)
+        expected0 = all_imgs[0][0].reshape(3, 32, 32).transpose(1, 2, 0)
+        np.testing.assert_array_equal(ds.images[0], expected0)
+
+    def test_imagenet32_roundtrip(self, tmp_path):
+        import pickle
+
+        from nfdpm_tpu.data.datasets import read_imagenet
+
+        rng = np.random.default_rng(2)
+        base = tmp_path / "imagenet32" / "val"
+        base.mkdir(parents=True)
+        flat = rng.integers(0, 256, (5, 3 * 32 * 32)).astype(np.uint8)
+        with open(base / "val_data", "wb") as f:
+            pickle.dump({"data": flat, "labels": [1, 2, 3, 4, 5]}, f)
+        ds = read_imagenet(str(tmp_path), "val", 32)
+        assert ds.images.shape == (5, 32, 32, 3)
+        # channel-planar unpacking: R plane first
+        np.testing.assert_array_equal(
+            ds.images[0, :, :, 0], flat[0][:1024].reshape(32, 32)
+        )
+
+    def test_celeba_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        from nfdpm_tpu.data.datasets import read_celeba
+
+        img_dir = tmp_path / "celeba" / "img_align_celeba" / "img_align_celeba"
+        img_dir.mkdir(parents=True)
+        rng = np.random.default_rng(3)
+        rows = ["image_id,partition"]
+        for i, part in enumerate([0, 0, 2]):
+            name = f"{i:06d}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (218, 178, 3)).astype(np.uint8)
+            ).save(img_dir / name)
+            rows.append(f"{name},{part}")
+        (tmp_path / "celeba" / "list_eval_partition.csv").write_text(
+            "\n".join(rows)
+        )
+        train = read_celeba(str(tmp_path), [0], img_size=32)
+        test = read_celeba(str(tmp_path), [2], img_size=32)
+        assert train.images.shape == (2, 32, 32, 3)
+        assert test.images.shape == (1, 32, 32, 3)
