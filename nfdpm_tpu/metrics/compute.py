@@ -227,6 +227,16 @@ def evaluate_model(
 ) -> Dict[str, Any]:
     """One generation pass serves all requested metrics via Storage."""
     metrics: Dict[str, Any] = {}
+    if data_name == "celeba":
+        # reference resizes CelebA generations to 224 (bilinear) BEFORE
+        # caching, so CLIP and Inception both see the 224 images
+        # (compute.py:47, 219-222)
+        raw_sampler = sample_images
+
+        def sample_images(n):  # noqa: F811
+            imgs = np.asarray(raw_sampler(n))
+            return _bilinear_resize_uint8(imgs, 224)
+
     gen = make_cached_sampler(sample_images)
 
     for kwarg in fid_kwargs or []:
@@ -274,6 +284,20 @@ def evaluate_model(
 
     gen.storage.reset()
     return metrics
+
+
+def _bilinear_resize_uint8(images: np.ndarray, size: int) -> np.ndarray:
+    """torchvision T.Resize(size) semantics (PIL bilinear) on uint8 NHWC."""
+    from PIL import Image
+
+    if images.shape[1] == size and images.shape[2] == size:
+        return images
+    out = np.empty((len(images), size, size, images.shape[3]), np.uint8)
+    for i, im in enumerate(images):
+        arr = im[..., 0] if im.shape[-1] == 1 else im
+        r = np.asarray(Image.fromarray(arr).resize((size, size), Image.BILINEAR))
+        out[i] = r[..., None] if im.shape[-1] == 1 else r
+    return out
 
 
 # ---------------------------------------------------------------------------
