@@ -322,10 +322,16 @@ def make_nf_evaluate_fn(
     diffusion at checkpoints, full DATASET_SIZE at the end — we use
     quick_num_gen at checkpoints and leave full runs to eval phase)."""
     split = "val" if data_name == "imagenet32" else "test"
-    num_gen = quick_num_gen
 
-    def evaluate_fn(sample_fn, params, epoch):
+    def evaluate_fn(sample_fn, params, epoch, full: bool = False):
         import jax
+
+        # checkpoint-epoch evals are quick; `full=True` (final/eval phase)
+        # generates the reference's DATASET_SIZE counts (data/__init__.py:8-21)
+        num_gen = (
+            DATASET_SIZE.get(data_name, {}).get(split, quick_num_gen)
+            if full else quick_num_gen
+        )
 
         def sample_images(n):
             key = jax.random.PRNGKey(epoch)

@@ -265,6 +265,7 @@ def train(
 
         results = {}
         if evaluate_fn is not None:
-            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch)
+            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch,
+                                             full=True)
         tracker.close()
         return {"state": state, "results": results, "sample_fn": sample_fn}

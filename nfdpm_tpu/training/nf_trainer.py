@@ -318,7 +318,8 @@ def train(
             tracker.track(bpd, "bpd", epoch=final_epoch, context={"subset": split, "final": True})
             logger.info(f"final {split} bpd: {bpd:.4f}")
         if evaluate_fn is not None:
-            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch)
+            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch,
+                                             full=True)
 
         tracker.close()
         return {"state": state, "results": results, "sample_fn": sample_fn}

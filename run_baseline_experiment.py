@@ -118,7 +118,7 @@ def main(argv):
                                     jax.random.fold_in(jax.random.PRNGKey(int(cfg.seed)), fold))
             logger.info(f"{split} bpd: {bpd:.4f}")
         if evaluate_fn is not None:
-            evaluate_fn(sample_fn, state["params"], resume_epoch)
+            evaluate_fn(sample_fn, state["params"], resume_epoch, full=True)
     else:
         raise ValueError(f"Unknown phase: {cfg.phase}")
 

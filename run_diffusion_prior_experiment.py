@@ -153,7 +153,7 @@ def main(argv):
         )
         logger.info(f"VLB test bpd (diffusion prior): {bpd:.4f}")
         if evaluate_fn is not None:
-            evaluate_fn(sample_fn, state["params"], resume_epoch)
+            evaluate_fn(sample_fn, state["params"], resume_epoch, full=True)
     else:
         raise ValueError(f"Unknown phase: {cfg.phase}")
 
