@@ -45,6 +45,9 @@ def main(argv):
         steps=int(arch.K),
         coupling_width=int(arch.get("coupling_width", 512)),
         learn_prior=bool(arch.learn_prior_mean_logs),
+        scan_unroll=int(arch.get("scan_unroll", 4)),
+        coupling_dtype=str(arch.get("coupling_dtype", "float32")),
+        remat=bool(arch.get("remat", False)),
     )
     tr = cfg.model.training
     tcfg = nft.NFTrainConfig(

@@ -56,6 +56,7 @@ def main(argv):
         gcfg = glow_m.GlowConfig(
             in_channels=in_channels, levels=int(sc.L), steps=int(sc.K),
             coupling_width=int(sc.get("coupling_width", 512)),
+            scan_unroll=int(sc.get("scan_unroll", 4)),
         )
         backbone = NFBackbone(cfg=gcfg, img_size=img_size, frozen=frozen)
         flow_params = glow_m.init_glow(int(cfg.seed), gcfg)
