@@ -32,6 +32,10 @@ def main(argv):
     from nfdpm_tpu.utils.env import log_environment, set_seeds, setup_logger
 
     cfg = load_config(cfg_path, overrides)
+    # 'default' (bf16 MXU passes) | 'high' | 'highest' (fp32 parity runs)
+    prec = cfg.select("model.training.matmul_precision", "default")
+    if prec != "default":
+        jax.config.update("jax_default_matmul_precision", prec)
     run_dir = make_run_dir(cfg)
     logger = setup_logger("base", os.path.join(run_dir, "train.log"))
     logger.info("Configuration:\n" + cfg.to_yaml())
