@@ -32,7 +32,10 @@ TILE_N = 512
 
 def _kernel(x_ref, w_ref, b_ref, o_ref):
     # x: [TILE_N, C], w: [C, O], b: [1, O]  -> o: [TILE_N, O]
-    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: full-fp32 MXU passes, matching the XLA reference path (the
+    # default runs single-pass bf16 and drifts ~5e-2 on unit-scale data)
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     o_ref[:] = acc + b_ref[:]
 
 
