@@ -176,3 +176,75 @@ def test_prior_bpd_match(ref_gd, jax_gd):
     ref = gd._prior_bpd(x0_t).numpy()
     got = np.asarray(jax_gd._prior_bpd(jnp.asarray(nhwc(x0_t))))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+class TestSamplerChainParity:
+    """Full T-step ancestral and DDIM chains vs the reference, with all
+    noise draws patched to zero on both sides (deterministic chains from
+    x_T = 0 through the stub denoiser — exercises the posterior stepping,
+    clipping, t==0 boundary, and DDIM eta math end-to-end)."""
+
+    def _run_ref(self, gd, method):
+        import unittest.mock as mock
+
+        with mock.patch.object(torch, "randn",
+                               lambda *s, **k: torch.zeros(*s, **k)), \
+             mock.patch.object(torch, "randn_like",
+                               lambda t, **k: torch.zeros_like(t)):
+            with torch.no_grad():
+                if method == "ancestral":
+                    return gd.p_sample_loop((2, 3, 8, 8))
+                return gd.ddim_sample((2, 3, 8, 8))
+
+    def _run_jax(self, diff, method):
+        import unittest.mock as mock
+
+        import jax
+        import jax.numpy as jnp
+
+        with mock.patch.object(jax.random, "normal",
+                               lambda key, shape=(), dtype=jnp.float32:
+                               jnp.zeros(shape, dtype)):
+            if method == "ancestral":
+                return diff.p_sample_loop(None, jax.random.PRNGKey(0), (2, 8, 8, 3))
+            return diff.ddim_sample(None, jax.random.PRNGKey(0), (2, 8, 8, 3))
+
+    def test_ancestral_chain_parity(self, ref_gd, jax_gd):
+        _, gd = ref_gd
+        ref = self._run_ref(gd, "ancestral").numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(self._run_jax(jax_gd, "ancestral"))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_ddim_chain_parity(self, ref_gd, jax_gd):
+        import importlib
+
+        mod, _ = ref_gd
+        # build DDIM-configured instances on both sides (sampling_T < T)
+        class StubModel(torch.nn.Module):
+            channels = 3
+            out_dim = 3
+            self_condition = False
+            random_or_learned_sinusoidal_cond = False
+
+            def forward(self, x, t, x_self_cond=None):
+                return 0.1 * x + 0.01 * t.float().reshape(-1, 1, 1, 1)
+
+        gd_ddim = mod.GaussianDiffusion(
+            StubModel(), image_size=8, timesteps=T, sampling_timesteps=5,
+            loss_type="l2", objective="pred_noise", beta_schedule="cosine",
+            ddim_sampling_eta=1.0, auto_normalize=False,
+        )
+        from nfdpm_tpu.models.diffusion import DiffusionConfig, GaussianDiffusion
+
+        def stub_apply(params, x, t, sc):
+            import jax.numpy as jnp
+            return 0.1 * x + 0.01 * t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+
+        diff = GaussianDiffusion(stub_apply, DiffusionConfig(
+            image_size=8, channels=3, timesteps=T, sampling_timesteps=5,
+            loss_type="l2", objective="pred_noise", beta_schedule="cosine",
+            ddim_sampling_eta=1.0, auto_normalize=False))
+
+        ref = self._run_ref(gd_ddim, "ddim").numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(self._run_jax(diff, "ddim"))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

@@ -219,3 +219,46 @@ def test_gradient_parity(parity_setup):
     np.testing.assert_allclose(
         np.asarray(grads["prior"]["bias"]), gb.reshape(-1), rtol=2e-2, atol=1e-5
     )
+
+
+def test_split_prior_sampling_parity(parity_setup):
+    """Glow.invert given ONLY the final latent: per-level split priors supply
+    the missing parts. With noise patched to zero on both sides the sampled
+    parts equal the learned prior means, exercising the full sample-on-invert
+    plumbing (transforms.py:305-307). Split convs are randomized first so the
+    means are nontrivial.
+
+    NOTE: mutates the module-scoped fixture's split convs — keep this the
+    LAST test in the file."""
+    import unittest.mock as mock
+
+    import jax
+    import jax.numpy as jnp
+
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.utils.reference_import import import_glow_state_dict
+
+    s = parity_setup
+    model = s["model"]
+    # randomize split-prior convs (zero-init by default => trivial means)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if ".split.conv." in name:
+                p.add_(torch.randn_like(p) * 0.1)
+
+    cfg = glow_m.GlowConfig(in_channels=s["C"], levels=s["L"], steps=s["K"])
+    params = import_glow_state_dict(model.state_dict(), s["L"], s["K"])
+    z_last_t = s["latents_t"][-1]
+
+    with mock.patch.object(torch.Tensor, "normal_", lambda self, *a, **k: self.zero_()):
+        with torch.no_grad():
+            ref = model.invert([z_last_t], temperature=0.7)
+
+    with mock.patch.object(jax.random, "normal",
+                           lambda key, shape=(), dtype=jnp.float32:
+                           jnp.zeros(shape, dtype)):
+        got = glow_m.inverse(params, cfg, [jnp.asarray(_to_nhwc(z_last_t))],
+                             key=jax.random.PRNGKey(0), temperature=0.7)
+
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref),
+                               rtol=1e-3, atol=5e-4)
