@@ -189,7 +189,7 @@ def test_gradient_parity(parity_setup):
         return prior_m.bits_per_dim(ldj + logp, n_bins, n_pixel)
 
     bpd_j, grads = jax.value_and_grad(loss_fn)(params)
-    np.testing.assert_allclose(float(bpd_j), float(bpd_t), rtol=1e-4)
+    np.testing.assert_allclose(float(bpd_j), float(bpd_t.detach()), rtol=1e-4)
 
     named_t = dict(model.named_parameters())
 
