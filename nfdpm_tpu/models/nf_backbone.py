@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..training.checkpoint import load_architecture, restore_state
 from . import glow as glow_m
@@ -85,4 +86,7 @@ def load_pretrained_flow(
                 "step": jnp.zeros((), jnp.int32)}
     state = restore_state(run_dir, "gaussian", epoch, template)
     backbone = NFBackbone(cfg=cfg, img_size=int(arch["img_size"]), frozen=frozen)
-    return backbone, state["params"]["flow"]
+    # strip the checkpoint's device placement (it may reference a different
+    # mesh than the caller's); host arrays re-place cleanly downstream
+    flow_params = jax.tree.map(np.asarray, state["params"]["flow"])
+    return backbone, flow_params

@@ -41,6 +41,14 @@ def log_environment(logger: logging.Logger) -> None:
     logger.info(f"Python version: {sys.version}")
     logger.info(f"Platform: {platform.platform()}")
     logger.info(f"JAX version: {jax.__version__}")
+    for mod in ("flax", "optax", "orbax.checkpoint", "numpy"):
+        try:
+            import importlib
+
+            m = importlib.import_module(mod)
+            logger.info(f"{mod} version: {getattr(m, '__version__', '?')}")
+        except ImportError:
+            pass
     try:
         logger.info(f"Devices: {jax.devices()}")
     except RuntimeError as e:  # backend init failure should not kill the run

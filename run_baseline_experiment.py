@@ -16,6 +16,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 
 
 def main(argv):
@@ -116,6 +117,9 @@ def main(argv):
         tx = make_optimizer(tcfg.optimizer, tcfg.lr)
         template = nft.init_train_state(0, gcfg, tcfg, tx)
         state = restore_state(resume_dir, "gaussian", resume_epoch, template)
+        # normalize placement: restored leaves keep the shardings they were
+        # saved with (possibly a different mesh); re-place uniformly
+        state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
         eval_step = nft.make_eval_step(gcfg, tcfg)
         sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size))
         for fold, (split, loader) in enumerate(

@@ -17,6 +17,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 
 
 def main(argv):
@@ -151,6 +152,7 @@ def main(argv):
         from nfdpm_tpu.training.checkpoint import restore_state
 
         state = restore_state(resume_dir, "diffusion", resume_epoch, template)
+        state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
         sample_fn = dt.make_sample_fn(backbone, dp, tcfg)
         bpd = dt.calculate_bpd_with_diff_prior(
             backbone, dp, tcfg, state["params"], loaders.test,

@@ -67,3 +67,37 @@ def test_two_stage_workflow(workdir, monkeypatch):
     assert any(f.startswith("model_diffusion_") for f in os.listdir(ckpt_dir))
     # metrics stream was written
     assert os.path.exists(os.path.join(workdir, "outputs", diff_run, "metrics.jsonl"))
+
+    # eval phase on the stored NF checkpoint (run_baseline_experiment.py:104-151)
+    base_exp.main([
+        "experiment_name=nf_eval",
+        "phase=eval",
+        f"load.load_exp_dir={nf_run}",
+        "load.load_epoch=1",
+        "data.name=synthetic",
+        "data.synthetic_fallback=true",
+        "data.batch_size=8",
+        "data.img_size=8",
+        "model.architecture.L=2",
+        "model.architecture.K=1",
+        "model.architecture.coupling_width=16",
+    ])
+
+    # eval phase on the stored diffusion checkpoint
+    diff_exp.main([
+        "experiment_name=diff_eval",
+        "phase=eval",
+        f"load.load_exp_dir={diff_run}",
+        "load.load_epoch=1",
+        "data.name=synthetic",
+        "data.synthetic_fallback=true",
+        "data.batch_size=8",
+        "data.img_size=8",
+        f"model.normalizing_flow.init_nf.pretrain.dir={nf_run}",
+        "model.normalizing_flow.init_nf.pretrain.epoch=1",
+        "model.unet.dim=8",
+        "model.unet.dim_mults=[1,2]",
+        "model.unet.resnet_block_groups=2",
+        "model.diffusion.timesteps=8",
+        "model.diffusion.sampling_timesteps=4",
+    ])
