@@ -145,7 +145,7 @@ def load_torch_weights(path: str):
 
 
 def make_feature_fn(params=None):
-    """Returns a jitted fn: uint8 [B, 224, 224, 3] -> normalized [B, 512]."""
+    """Returns a jitted fn: uint8-or-float [0,255] [B, 224, 224, 3] -> normalized [B, 512]."""
     if params is None:
         params = random_params()
     model = _model()

@@ -267,17 +267,29 @@ def evaluate_model(
         data_range = float(ssim_psnr_kwargs.get("data_range", 255))
         loader = ssim_psnr_kwargs["loader"]
         ssim_vals, psnr_vals = [], []
+        n_used, n_total = 0, 0
         for imgs, _labels in loader:
+            n_total += len(imgs)
             target = np.asarray(gen(len(imgs)), np.float32)
             if len(target) < len(imgs):
+                # the generated cache ran short — stop, but never silently:
+                # the reference breaks here too (compute.py:271-273)
                 break
-            real = (imgs * 255).astype(np.float32)  # discretize semantics
+            n_used += len(imgs)
+            # reference `discretize` truncates real images to uint8
+            # (metrics/utils.py:11-21: (img*255).to(uint8)) before SSIM/PSNR
+            real = (imgs * 255).astype(np.uint8).astype(np.float32)
             if real.shape[-1] == 1:
                 real = np.repeat(real, target.shape[-1] // real.shape[-1], axis=-1)
             ssim_vals.append(float(ssim_fn(jnp.asarray(target, jnp.float32),
                                            jnp.asarray(real), data_range)))
             psnr_vals.append(float(psnr_fn(jnp.asarray(target, jnp.float32),
                                            jnp.asarray(real), data_range)))
+        if logger and n_used < n_total:
+            logger.warning(
+                f"SSIM/PSNR covered only {n_used}/{n_total} eval images "
+                f"(generated cache holds {num_gen}); raise num_gen for full coverage."
+            )
         metrics["SSIM"] = float(np.mean(ssim_vals)) if ssim_vals else float("nan")
         metrics["PSNR"] = float(np.mean(psnr_vals)) if psnr_vals else float("nan")
         gen.storage.set_ready_for_usage()
@@ -316,12 +328,17 @@ def make_nf_evaluate_fn(
     stats_dir: str = fid_m.DEFAULT_STATS_DIR,
     quick_num_gen: int = 64,
     ssim_psnr: Optional[Dict] = None,
+    dataset_split: str = "train",
 ):
     """evaluate_fn(sample_fn, params, epoch) used by both trainers: quick
-    FID/KID at checkpoint epochs (reference num_gen=15 for NF / 2000 for
-    diffusion at checkpoints, full DATASET_SIZE at the end — we use
-    quick_num_gen at checkpoints and leave full runs to eval phase)."""
-    split = "val" if data_name == "imagenet32" else "test"
+    FID/KID at checkpoint epochs (reference num_gen=15 for NF trainer.py:202-207,
+    2000 for diffusion trainer.py:195-204; configure via quick_num_gen),
+    full DATASET_SIZE counts at the final/eval phase. `dataset_split` defaults
+    to "train" — the reference scores against train-split stats with
+    DATASET_SIZE[data]["train"] counts in both trainers."""
+    split = dataset_split
+    if data_name == "imagenet32" and split == "test":
+        split = "val"  # imagenet32 has no test split (data/__init__.py:8-21)
 
     def evaluate_fn(sample_fn, params, epoch, full: bool = False):
         import jax
@@ -333,9 +350,17 @@ def make_nf_evaluate_fn(
             if full else quick_num_gen
         )
 
+        # Each sample_images call must draw fresh randomness: fold a running
+        # call counter into the salt, otherwise every cached-generation batch
+        # within one evaluation is bit-identical and FID/KID covariance and
+        # KID MMD estimates collapse (duplicated samples).
+        call_counter = [0]
+
         def sample_images(n):
             key = jax.random.PRNGKey(epoch)
-            return np.asarray(sample_fn(params, key, n, temperature, np.int32(epoch)))
+            salt = np.int32(epoch * 100_003 + call_counter[0])
+            call_counter[0] += 1
+            return np.asarray(sample_fn(params, key, n, temperature, salt))
 
         ssim_kwargs = None
         if ssim_psnr is not None:

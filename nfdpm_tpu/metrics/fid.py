@@ -39,14 +39,18 @@ def resize_batch(images: np.ndarray, size: int, mode: str) -> np.ndarray:
     if images.shape[1] == size and images.shape[2] == size:
         return images.astype(np.float32)
     if mode == "clean":
+        # clean-fid's make_resizer("PIL", quantize_after=False, "bicubic"):
+        # each channel is resized as a float32 'F'-mode PIL image, so the
+        # output is fractional (NOT re-quantized through a uint8 image).
         from PIL import Image
 
         out = np.empty((len(images), size, size, images.shape[3]), np.float32)
         for i, im in enumerate(images):
-            arr = im[..., 0] if im.shape[-1] == 1 else im
-            pil = Image.fromarray(arr.astype(np.uint8))
-            r = np.asarray(pil.resize((size, size), Image.BICUBIC), np.float32)
-            out[i] = r[..., None] if im.shape[-1] == 1 else r
+            for c in range(im.shape[-1]):
+                ch = Image.fromarray(im[..., c].astype(np.float32), mode="F")
+                out[i, :, :, c] = np.asarray(
+                    ch.resize((size, size), Image.BICUBIC), np.float32
+                )
         return out
     elif mode == "legacy_tensorflow":
         return tf1_bilinear_resize(images.astype(np.float32), size)
@@ -92,14 +96,19 @@ def extract_features(
     mode: str,
     batch_size: int = 64,
 ) -> np.ndarray:
-    """uint8 [N, H, W, C] -> [N, D] features (resize -> clip -> extractor)."""
+    """uint8 [N, H, W, C] -> [N, D] features (resize -> extractor).
+
+    The resized images are fed to the feature net as float32 in [0, 255]
+    WITHOUT re-quantizing to uint8 — clean-fid passes the resizer's float
+    output straight to Inception (its ResizeDataset returns float tensors),
+    so quantizing here would deviate from clean-fid's exact values."""
     import jax.numpy as jnp
 
     feats = []
     for i in range(0, len(images), batch_size):
         chunk = _to_rgb(images[i: i + batch_size])
-        resized = np.clip(resize_batch(chunk, size, mode), 0, 255)
-        feats.append(np.asarray(feature_fn(jnp.asarray(resized.astype(np.uint8)))))
+        resized = resize_batch(chunk, size, mode).astype(np.float32)
+        feats.append(np.asarray(feature_fn(jnp.asarray(resized))))
     return np.concatenate(feats, axis=0)
 
 

@@ -234,7 +234,7 @@ def load_torch_weights(path: str):
 
 
 def make_feature_fn(params=None):
-    """Returns a jitted fn: uint8 [B, 299, 299, 3] -> [B, 2048] features."""
+    """Returns a jitted fn: uint8-or-float [0,255] [B, 299, 299, 3] -> [B, 2048]."""
     if params is None:
         params = random_params()
     model = _model()

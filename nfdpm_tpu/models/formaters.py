@@ -33,14 +33,11 @@ jnp_Array = jax.Array
 
 
 def _latent_shapes(L: int, in_channels: int, size: int) -> List[Tuple[int, int, int]]:
-    """NHWC latent shapes (same schedule as glow.latent_shapes_nhwc)."""
-    shapes, c, s = [], in_channels, size
-    for _ in range(L - 1):
-        c *= 2
-        s //= 2
-        shapes.append((s, s, c))
-    shapes.append((s // 2, s // 2, c * 4))
-    return shapes
+    """NHWC latent shapes — single source of truth is glow.latent_shapes_nhwc
+    (same channel schedule; avoids silent drift if it ever changes)."""
+    from .glow import GlowConfig, latent_shapes_nhwc
+
+    return latent_shapes_nhwc(GlowConfig(in_channels=in_channels, levels=L), size)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,8 +74,10 @@ def load_pretrained_flow(
         coupling_width=int(arch.get("coupling_width", 512)),
         learn_prior=bool(arch.get("learn_prior", True)),
     )
-    # template matching the NF trainer's saved state tree
-    tx = make_optimizer("adam", 1e-3)
+    # template matching the NF trainer's saved state tree (the opt_state
+    # structure depends on whether the prior was optimizer-excluded)
+    tx = make_optimizer("adam", 1e-3,
+                        fixed_prior=bool(arch.get("fixed_prior", True)))
     params = {
         "flow": glow_m.init_glow(0, cfg),
         "prior": prior_m.init_gaussian_prior(

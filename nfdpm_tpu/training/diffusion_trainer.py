@@ -56,6 +56,9 @@ class DiffusionTrainConfig:
     n_samples_log: int = 8
     log_param_distribution: bool = False  # per-epoch param histograms
     nf_bpd_weight: float = 0.5         # trainer.py:145 weighting factor
+    compat_three_channel_bpd: bool = True  # reference hardcodes n_pixel =
+    # img_size^2 * 3.0 even for 1-channel MNIST (diffusion_prior/trainer.py:134
+    # analogue); set False for the channel-correct count.
 
 
 def make_two_group_optimizer(
@@ -84,7 +87,11 @@ def make_two_group_optimizer(
 def make_train_step(
     backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig, tx
 ):
-    n_pixel = float(backbone.img_size) ** 2 * 3.0  # reference n_pixel (3.0 hardcoded)
+    from ..models import prior as prior_m
+
+    n_pixel = prior_m.n_pixels(
+        backbone.img_size, backbone.cfg.in_channels, tcfg.compat_three_channel_bpd
+    )
 
     def loss_fn(params, batch, key):
         k_dq, k_diff = jax.random.split(key)
@@ -146,8 +153,12 @@ def calculate_bpd_with_diff_prior(
     where the diffusion NLL replaces the Gaussian prior logp. Correctly
     ACCUMULATES across batches (the reference version overwrote its
     accumulator and was dead code, diffusion_prior/trainer.py:45,242-248)."""
+    from ..models import prior as prior_m
+
     n_bins = q.n_bins_of(tcfg.n_bits)
-    n_pixel = float(backbone.img_size) ** 2 * 3.0
+    n_pixel = prior_m.n_pixels(
+        backbone.img_size, backbone.cfg.in_channels, tcfg.compat_three_channel_bpd
+    )
     bpd_const = np.log2(np.e) / n_pixel
 
     @jax.jit

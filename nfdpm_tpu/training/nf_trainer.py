@@ -54,6 +54,9 @@ class NFTrainConfig:
     n_samples_log: int = 8
     log_param_distribution: bool = False  # per-epoch param histograms
     compat_three_channel_bpd: bool = True  # reference n_pixel bug, SURVEY §2
+    compat_fixed_prior: bool = True  # reference optimizes/clips flow params
+    # only (trainer.py:109,165-166): the Gaussian prior stays standard normal.
+    # Set False to also train the prior (capability extension).
 
 
 def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx):
@@ -204,7 +207,7 @@ def train(
     """Full training driver. `evaluate_fn(sample_fn, params, epoch)` is an
     optional hook for FID/KID evaluation (metrics engine)."""
     key = jax.random.PRNGKey(seed)
-    tx = make_optimizer(tcfg.optimizer, tcfg.lr)
+    tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
     mesh = mesh or mesh_m.make_mesh()
     tracker = Tracker(run_dir)
 
@@ -242,6 +245,7 @@ def train(
                 "coupling_width": cfg.coupling_width,
                 "learn_prior": cfg.learn_prior,
                 "n_bits": tcfg.n_bits,
+                "fixed_prior": tcfg.compat_fixed_prior,
             },
         )
 

@@ -46,7 +46,15 @@ def make_optimizer(
     lr: float = 1e-3,
     clip_value: float | None = 1.0,
     clip_norm: float | None = 1.0,
+    fixed_prior: bool = False,
 ) -> optax.GradientTransformation:
+    """`fixed_prior=True` reproduces the reference exactly: its optimizer and
+    BOTH grad clips cover `flow.parameters()` only
+    (/root/reference/normalizing_flow/trainer.py:109,165-166), so the final
+    Gaussian prior's (bias, logs) never update and never enter the global-norm
+    clip. Implemented as a multi_transform over the {"flow", "prior"} top-level
+    keys so clip_by_global_norm sees flow grads only. `fixed_prior=False`
+    trains the prior too (a deliberate capability extension)."""
     if name == "adam":
         opt = optax.adam(lr)
     elif name == "adamw":
@@ -61,4 +69,14 @@ def make_optimizer(
         chain.append(optax.clip_by_global_norm(clip_norm))
     chain.append(opt)
     tx = optax.chain(*chain)
+
+    if fixed_prior:
+        def label_fn(params):
+            return {
+                k: jax.tree.map(lambda _: ("prior" if k == "prior" else "flow"), v)
+                for k, v in params.items()
+            }
+
+        tx = optax.multi_transform({"flow": tx, "prior": optax.set_to_zero()},
+                                   label_fn)
     return optax.masked(tx, trainable_mask)

@@ -30,7 +30,12 @@ def main(argv):
     from nfdpm_tpu.training.checkpoint import restore_state
     from nfdpm_tpu.training.optim import make_optimizer
     from nfdpm_tpu.utils.config import load_config, make_run_dir, parse_metric
-    from nfdpm_tpu.utils.env import log_environment, set_seeds, setup_logger
+    from nfdpm_tpu.utils.env import (
+        log_environment,
+        parse_train_eval_mode,
+        set_seeds,
+        setup_logger,
+    )
 
     cfg = load_config(cfg_path, overrides)
     # 'default' (bf16 MXU passes) | 'high' | 'highest' (fp32 parity runs)
@@ -65,6 +70,8 @@ def main(argv):
         save_checkpoint_freq=int(tr.save_checkpoint_freq),
         log_gen_images_per_iter=int(cfg.model.logging.log_gen_images_per_iter),
         log_param_distribution=bool(cfg.model.logging.get("log_param_distribution", False)),
+        compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
+        compat_fixed_prior=bool(cfg.select("compat.fixed_prior", True)),
     )
 
     loaders = read_dataset(
@@ -95,6 +102,8 @@ def main(argv):
             temperature=float(tr.temperature),
             logger=logger,
             ssim_psnr=dict(ssim_cfg) if ssim_cfg else None,
+            quick_num_gen=int(cfg.select("model.evaluation.quick_num_gen", 15)),
+            dataset_split=str(cfg.select("model.evaluation.dataset_split", "train")),
         )
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
@@ -103,7 +112,7 @@ def main(argv):
     if resume_dir:
         resume_dir = os.path.join("outputs", resume_dir)
 
-    if cfg.phase == "train":
+    if parse_train_eval_mode(cfg.phase):
         out = nft.train(
             cfg=gcfg, tcfg=tcfg, loaders=loaders, run_dir=run_dir, logger=logger,
             seed=int(cfg.seed), img_size=int(cfg.data.img_size),
@@ -114,7 +123,7 @@ def main(argv):
     elif cfg.phase == "eval":
         if not resume_dir:
             raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
-        tx = make_optimizer(tcfg.optimizer, tcfg.lr)
+        tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
         template = nft.init_train_state(0, gcfg, tcfg, tx)
         state = restore_state(resume_dir, "gaussian", resume_epoch, template)
         # normalize placement: restored leaves keep the shardings they were

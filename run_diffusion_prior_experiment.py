@@ -32,7 +32,12 @@ def main(argv):
     from nfdpm_tpu.parallel import mesh as mesh_m
     from nfdpm_tpu.training import diffusion_trainer as dt
     from nfdpm_tpu.utils.config import load_config, make_run_dir, parse_metric
-    from nfdpm_tpu.utils.env import log_environment, set_seeds, setup_logger
+    from nfdpm_tpu.utils.env import (
+        log_environment,
+        parse_train_eval_mode,
+        set_seeds,
+        setup_logger,
+    )
 
     cfg = load_config(cfg_path, overrides)
     # 'default' (bf16 MXU passes) | 'high' | 'highest' (fp32 parity runs)
@@ -101,6 +106,7 @@ def main(argv):
         save_checkpoint_freq=int(tr.save_checkpoint_freq),
         log_gen_images_per_iter=int(cfg.model.logging.log_gen_images_per_iter),
         log_param_distribution=bool(cfg.model.logging.get("log_param_distribution", False)),
+        compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
     )
 
     loaders = read_dataset(
@@ -124,6 +130,8 @@ def main(argv):
             kid_configs=kid_cfgs, img_size=img_size,
             temperature=float(tr.temperature), logger=logger,
             ssim_psnr=dict(ssim_cfg) if ssim_cfg else None,
+            quick_num_gen=int(cfg.select("model.evaluation.quick_num_gen", 2000)),
+            dataset_split=str(cfg.select("model.evaluation.dataset_split", "train")),
         )
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
@@ -132,7 +140,7 @@ def main(argv):
     if resume_dir:
         resume_dir = os.path.join("outputs", resume_dir)
 
-    if cfg.phase == "train":
+    if parse_train_eval_mode(cfg.phase):
         out = dt.train(
             backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
             loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),

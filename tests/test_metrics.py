@@ -185,3 +185,70 @@ class TestTF1Resize:
         tf1 = fid_m.tf1_bilinear_resize(img, 16)
         hp = np.asarray(jax.image.resize(img, (1, 16, 16, 3), "bilinear"))
         assert np.abs(tf1 - hp).max() > 1e-3  # genuinely different conventions
+
+
+class TestEvaluateFnRandomness:
+    def test_each_generation_call_gets_fresh_salt(self, tmp_path):
+        """Within one evaluation the cached sampler must NOT produce
+        bit-identical batches: each sample_images call folds a fresh salt
+        (counter) into the key, so FID covariance / KID MMD see independent
+        samples (round-1 advisor high-severity finding)."""
+        import logging
+
+        from nfdpm_tpu.data.pipeline import Loader
+        from nfdpm_tpu.data.datasets import synthetic
+
+        logger = logging.getLogger("t")
+        stats_dir = str(tmp_path)
+        mc.precompute_statistics(
+            logger, "", "synthetic", "train", 16, "clean", "inception_v3",
+            stats_dir=stats_dir, limit=48,
+        )
+
+        seen_salts = []
+
+        def fake_sample_fn(params, key, n, temperature, salt):
+            seen_salts.append(int(salt))
+            rng = np.random.default_rng(int(salt) & 0x7FFFFFFF)
+            return rng.integers(0, 256, (n, 16, 16, 3), dtype=np.uint8)
+
+        loaders = type("L", (), {"eval": Loader(synthetic(16, 16, 3, seed=1),
+                                                batch_size=16)})()
+        evaluate_fn = mc.make_nf_evaluate_fn(
+            data_name="synthetic", loaders=loaders,
+            fid_configs=[{"mode": "clean", "model_name": "inception_v3"}],
+            kid_configs=[], img_size=16, temperature=1.0, logger=logger,
+            stats_dir=stats_dir, quick_num_gen=64, dataset_split="train",
+        )
+        metrics = evaluate_fn(fake_sample_fn, None, epoch=3)
+        assert "FID_clean_inception" in metrics
+        # 64 samples at batch 32 -> 2 generation calls with DISTINCT salts
+        assert len(seen_salts) >= 2
+        assert len(set(seen_salts)) == len(seen_salts), seen_salts
+
+    def test_dataset_split_defaults_to_train(self):
+        """Reference scores against train-split stats in both trainers."""
+        import inspect
+
+        sig = inspect.signature(mc.make_nf_evaluate_fn)
+        assert sig.parameters["dataset_split"].default == "train"
+
+
+class TestFloatFeatureInput:
+    def test_extract_features_no_requantize(self):
+        """clean-fid feeds the float resize output straight to Inception:
+        features from float32 inputs must differ from a uint8-requantized
+        pipeline whenever the resize produced non-integer values."""
+        import jax.numpy as jnp
+
+        from nfdpm_tpu.metrics.compute import get_feature_extractor
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        fn = get_feature_extractor("inception_v3")
+        f_float = fid_m.extract_features(imgs, fn, 299, "clean", batch_size=4)
+        # manual uint8-requantized path
+        resized = fid_m.resize_batch(imgs, 299, "clean")
+        f_u8 = np.asarray(fn(jnp.asarray(np.clip(resized, 0, 255).astype(np.uint8))))
+        # resize produces fractional values, so the two must differ
+        assert np.abs(f_float - f_u8).max() > 0

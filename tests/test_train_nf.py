@@ -47,10 +47,11 @@ def test_full_train_loop_and_checkpoint(tmp_path):
                     logger=logger, img_size=8)
     assert np.isfinite(out["results"]["bpd_test"])
 
-    # resume restores exactly
+    # resume restores exactly (template must match the trainer's opt_state
+    # structure, which depends on compat_fixed_prior)
     from nfdpm_tpu.training.checkpoint import restore_state
 
-    tx = make_optimizer("adam", 1e-3)
+    tx = make_optimizer("adam", 1e-3, fixed_prior=TCFG.compat_fixed_prior)
     template = nft.init_train_state(jax.random.PRNGKey(0), CFG, TCFG, tx)
     restored = restore_state(run_dir, "gaussian", 1, template)
     jax.tree.map(
@@ -108,3 +109,51 @@ def test_iwae_bpd_tighter_or_equal():
                                  n_dequant_samples=4, iwae=True)
     assert np.isfinite(mean_bpd) and np.isfinite(iwae_bpd)
     assert iwae_bpd <= mean_bpd + 1e-3
+
+
+def test_fixed_prior_never_updates():
+    """Reference parity: the optimizer contains flow.parameters() only
+    (normalizing_flow/trainer.py:109), so with compat_fixed_prior=True the
+    Gaussian prior must stay exactly standard normal while flow params move."""
+    tcfg = nft.NFTrainConfig(epochs=1, lr=1e-2, compat_fixed_prior=True)
+    tx = make_optimizer("adam", 1e-2, fixed_prior=True)
+    key = jax.random.PRNGKey(0)
+    state = nft.init_train_state(key, CFG, tcfg, tx)
+    prior0 = jax.tree.map(jnp.copy, state["params"]["prior"])
+    flow0 = jax.tree.map(jnp.copy, state["params"]["flow"])
+    train_step = nft.make_train_step(CFG, tcfg, tx)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    for i in range(3):
+        state, _ = train_step(state, batch, jax.random.fold_in(key, i))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state["params"]["prior"], prior0,
+    )
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(x),
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                     state["params"]["flow"], flow0),
+        0.0,
+    )
+    assert moved > 0.0
+
+
+def test_fixed_prior_excluded_from_clip_norm():
+    """With fixed_prior=True the global-norm clip must see flow grads only:
+    a huge prior gradient must not shrink the flow update."""
+    import optax
+
+    params = {"flow": {"w": jnp.ones((4,))}, "prior": {"bias": jnp.ones((4,))}}
+    grads_small_prior = {"flow": {"w": jnp.full((4,), 0.1)},
+                         "prior": {"bias": jnp.zeros((4,))}}
+    grads_huge_prior = {"flow": {"w": jnp.full((4,), 0.1)},
+                        "prior": {"bias": jnp.full((4,), 1e6)}}
+
+    tx = make_optimizer("adam", 1e-3, fixed_prior=True)
+    s1 = tx.init(params)
+    u1, _ = tx.update(grads_small_prior, s1, params)
+    s2 = tx.init(params)
+    u2, _ = tx.update(grads_huge_prior, s2, params)
+    np.testing.assert_allclose(np.asarray(u1["flow"]["w"]),
+                               np.asarray(u2["flow"]["w"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(u2["prior"]["bias"]), 0.0)

@@ -54,7 +54,8 @@ def main():
         coupling_width=args.coupling_width,
     )
     params = {"flow": flow_params, "prior": prior_params}
-    tx = make_optimizer("adam", 1e-3)
+    # reference checkpoints come from a flow-only optimizer (trainer.py:109)
+    tx = make_optimizer("adam", 1e-3, fixed_prior=True)
     state = {
         "params": params,
         "opt_state": tx.init(params),
