@@ -25,9 +25,48 @@ import sys
 import time
 
 REFERENCE_CPU_IMAGES_PER_SEC = 19.0
+# tools/measure_reference_ddpm_baseline.py: reference CPU p_sample rate at the
+# same shape as the secondary DDPM metric below (UNet-64, batch 64, 16x16x6).
+REFERENCE_CPU_DDPM_STEPS_PER_SEC = 0.295
 BATCH = int(os.environ.get("NFDPM_BENCH_BATCH", "64"))
 CHAIN = int(os.environ.get("NFDPM_BENCH_CHAIN", "50"))
 WIDTH = int(os.environ.get("NFDPM_BENCH_WIDTH", "512"))
+RUN_DDPM = os.environ.get("NFDPM_BENCH_DDPM", "1") != "0"
+
+
+def bench_ddpm():
+    """DDPM ancestral-chain throughput (BASELINE.json's second north-star
+    metric): UNet-64 denoise steps/sec as a jitted lax.scan, same workload
+    shape as tools/bench_ddpm.py and the reference CPU anchor."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfdpm_tpu.models.diffusion import DiffusionConfig, GaussianDiffusion
+    from nfdpm_tpu.models.unet import Unet
+
+    h = w = 16
+    c = 6
+    batch = 64
+    T = 250
+
+    unet = Unet(dim=64, dim_mults=(1, 2), channels=c, resnet_block_groups=8)
+    variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((batch, h, w, c)),
+                          jnp.zeros((batch,), jnp.int32), None)
+    params = jax.device_put(variables["params"])
+    cfg = DiffusionConfig(image_size=h, channels=c, timesteps=T,
+                          beta_schedule="cosine", auto_normalize=False)
+    diff = GaussianDiffusion(
+        lambda p, x, t, sc: unet.apply({"params": p}, x, t, sc), cfg)
+
+    sample = jax.jit(lambda p, k: diff.p_sample_loop(p, k, (batch, h, w, c)))
+    float(jnp.sum(sample(params, jax.random.PRNGKey(1))))  # compile
+
+    reps = 3
+    t_start = time.perf_counter()
+    for r in range(reps):
+        float(jnp.sum(sample(params, jax.random.PRNGKey(2 + r))))
+    dt = (time.perf_counter() - t_start) / reps
+    return T / dt
 
 
 def main():
@@ -65,12 +104,21 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     ips = CHAIN * BATCH / dt
-    print(json.dumps({
+    record = {
         "metric": "glow_L3K4_fwd_inverse_images_per_sec_per_chip_32x32",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / REFERENCE_CPU_IMAGES_PER_SEC, 2),
-    }))
+    }
+    if RUN_DDPM:
+        ddpm_sps = bench_ddpm()
+        record["secondary"] = {
+            "metric": "ddpm_unet64_denoise_steps_per_sec_batch64_16x16x6",
+            "value": round(ddpm_sps, 2),
+            "unit": "steps/sec",
+            "vs_baseline": round(ddpm_sps / REFERENCE_CPU_DDPM_STEPS_PER_SEC, 2),
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

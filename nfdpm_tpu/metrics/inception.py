@@ -196,41 +196,86 @@ def random_params(seed: int = 0):
     return _model().init(jax.random.PRNGKey(seed), x)["params"]
 
 
-def load_torch_weights(path: str):
-    """Import the clean-fid pt_inception .pth state dict into the flax tree.
+# Torch keys the feature extractor legitimately does not consume: the
+# classifier head, the aux classifier (absent from the pooled-feature path),
+# and BN bookkeeping counters.
+_UNUSED_KEY_PREFIXES = ("fc.", "AuxLogits.")
+_UNUSED_KEY_SUFFIXES = (".num_batches_tracked",)
+
+
+def import_state_dict(sd, strict: bool = False):
+    """Map a clean-fid pt_inception state dict (name -> ndarray) onto the
+    flax tree.
 
     Mapping: torchvision module names match our flax module names; torch conv
     weights [O,I,kh,kw] -> HWIO; BN {weight,bias,running_mean,running_var} ->
-    {bn_gamma, bn_beta, bn_mean, bn_var}."""
-    import torch
+    {bn_gamma, bn_beta, bn_mean, bn_var}.
 
-    sd = torch.load(path, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+    `strict=True` (VERDICT round-1 item #2a) raises unless EVERY flax leaf
+    was assigned exactly once and every torch key was either consumed or in
+    the documented unused set — no silently-skipped weights."""
     params = jax.tree.map(np.asarray, random_params())
+    assigned = set()
 
     def assign(tree, dotted, value):
         node = tree
         parts = dotted.split("/")
         for p in parts[:-1]:
             node = node[p]
+        if parts[-1] not in node:
+            raise KeyError(f"no flax leaf for mapped torch key -> {dotted}")
         expected = node[parts[-1]].shape
         assert value.shape == expected, f"{dotted}: {value.shape} vs {expected}"
         node[parts[-1]] = value
+        assigned.add(dotted)
 
+    unconsumed = []
     for k, v in sd.items():
-        v = v.numpy()
+        v = np.asarray(v)
         parts = k.split(".")
-        if parts[-2] == "conv" and parts[-1] == "weight":
-            flax_key = "/".join(parts[:-2]) + "/conv/kernel"
-            assign(params, flax_key, v.transpose(2, 3, 1, 0))
-        elif parts[-2] == "bn":
+        if len(parts) >= 2 and parts[-2] == "conv" and parts[-1] == "weight" \
+                and not k.startswith(_UNUSED_KEY_PREFIXES):
+            assign(params, "/".join(parts[:-2]) + "/conv/kernel",
+                   v.transpose(2, 3, 1, 0))
+        elif len(parts) >= 2 and parts[-2] == "bn" \
+                and not k.startswith(_UNUSED_KEY_PREFIXES):
             name = {"weight": "bn_gamma", "bias": "bn_beta",
                     "running_mean": "bn_mean", "running_var": "bn_var"}.get(parts[-1])
             if name is None:
+                unconsumed.append(k)
                 continue
             assign(params, "/".join(parts[:-2]) + f"/{name}", v)
+        else:
+            unconsumed.append(k)
+
+    if strict:
+        unexpected = [
+            k for k in unconsumed
+            if not (k.startswith(_UNUSED_KEY_PREFIXES)
+                    or k.endswith(_UNUSED_KEY_SUFFIXES))
+        ]
+        if unexpected:
+            raise ValueError(f"unmapped torch keys: {sorted(unexpected)[:10]}"
+                             f" (+{max(0, len(unexpected) - 10)} more)")
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        all_leaves = {
+            "/".join(getattr(p, "key", str(p)) for p in path) for path, _ in flat
+        }
+        missing = all_leaves - assigned
+        if missing:
+            raise ValueError(f"flax leaves never assigned: {sorted(missing)[:10]}"
+                             f" (+{max(0, len(missing) - 10)} more)")
     return params
+
+
+def load_torch_weights(path: str, strict: bool = True):
+    """Import the clean-fid pt_inception .pth file into the flax tree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return import_state_dict({k: v.numpy() for k, v in sd.items()}, strict=strict)
 
 
 def make_feature_fn(params=None):

@@ -49,6 +49,14 @@ class GlowConfig:
     scan_unroll: int = 1  # lax.scan unroll factor for the K-step stacks:
     # unrolling lets XLA fuse across steps (~12% fwd speedup at K=4 on v5e)
     # at the cost of compile time; 1 = compile-friendly default.
+    use_pallas: bool = False  # route the step's channel mix + coupling tail
+    # through the Pallas TPU kernels (ops/pallas/) instead of plain XLA —
+    # numerically identical (fp32 accumulate), selectable for benchmarking;
+    # see BENCH.md for measured deltas. Forward/likelihood path only.
+    invconv_param: str = "plu"  # "plu" (TPU default: logdet = sum(log_s),
+    # inverse = triangular solves) or "full" (the reference's exact trainable
+    # [C, C] matrix — needed for Adam-trajectory parity with the reference,
+    # since Adam is not invariant to the PLU reparameterization).
     remat: bool = False  # jax.checkpoint each step-flow: recompute coupling
     # activations in the backward pass instead of storing K*L of them —
     # trades ~33% more FLOPs for O(K*L) less activation memory (needed for
@@ -90,13 +98,14 @@ def latent_shapes_chw(cfg: GlowConfig, size: int) -> List[Tuple[int, int, int]]:
 # Init
 # ---------------------------------------------------------------------------
 
-def _stack_steps(rng, k: int, channels: int, width: int) -> Params:
+def _stack_steps(rng, k: int, channels: int, width: int,
+                 invconv_param: str = "plu") -> Params:
     """Init K steps and stack their params on the leading axis.  Entirely
     host-side numpy: one bulk device transfer happens on the first jit call
     (per-leaf device init over a tunneled TPU costs seconds per op)."""
     import numpy as np
 
-    steps = [bj.init_step(rng, channels, width) for _ in range(k)]
+    steps = [bj.init_step(rng, channels, width, invconv_param) for _ in range(k)]
     return jax.tree.map(lambda *xs: np.stack(xs), *steps)
 
 
@@ -110,11 +119,13 @@ def init_glow(key: jax.Array, cfg: GlowConfig) -> Params:
     for i in range(cfg.levels - 1):
         flow_channels = 4 * (2 ** i) * cfg.in_channels
         blocks.append({
-            "steps": _stack_steps(rng, cfg.steps, flow_channels, cfg.coupling_width),
+            "steps": _stack_steps(rng, cfg.steps, flow_channels,
+                                  cfg.coupling_width, cfg.invconv_param),
             "split": bj.init_split(flow_channels, cfg.learn_prior),
         })
     final_channels = (2 ** (cfg.levels + 1)) * cfg.in_channels
-    final_steps = _stack_steps(rng, cfg.steps, final_channels, cfg.coupling_width)
+    final_steps = _stack_steps(rng, cfg.steps, final_channels,
+                               cfg.coupling_width, cfg.invconv_param)
     return {"blocks": tuple(blocks), "final_steps": final_steps}
 
 
@@ -124,10 +135,10 @@ def init_glow(key: jax.Array, cfg: GlowConfig) -> Params:
 
 def _scan_steps_forward(stacked: Params, x: jax.Array, ldj: jax.Array,
                         dtype=jnp.float32, remat: bool = False,
-                        unroll: int = 1):
+                        unroll: int = 1, use_pallas: bool = False):
     def body(carry, sp):
         h, acc = carry
-        y, acc = bj.step_forward(sp, h, acc, dtype)
+        y, acc = bj.step_forward(sp, h, acc, dtype, use_pallas)
         return (y, acc), None
 
     if remat:
@@ -193,13 +204,13 @@ def forward(
     for block in params["blocks"]:
         y = bj.squeeze_forward(y)
         y, ldj = _scan_steps_forward(block["steps"], y, ldj, dtype, cfg.remat,
-                                     cfg.scan_unroll)
+                                     cfg.scan_unroll, cfg.use_pallas)
         y, ldj, z, logp = bj.split_forward(block["split"], y, ldj, logp)
         latents.append(z)
 
     y = bj.squeeze_forward(y)
     y, ldj = _scan_steps_forward(params["final_steps"], y, ldj, dtype, cfg.remat,
-                                 cfg.scan_unroll)
+                                 cfg.scan_unroll, cfg.use_pallas)
     latents.append(y)
     return latents, ldj, logp
 

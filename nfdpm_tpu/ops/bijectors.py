@@ -173,8 +173,35 @@ def plu_from_weight(w: jax.Array) -> Params:
     }
 
 
+def init_invconv_full(key, channels: int) -> Params:
+    """Full-matrix parameterization — the reference's exact one
+    (/root/reference/normalizing_flow/transforms.py:104-115): one trainable
+    [C, C] weight, logdet via slogdet, inverse via general matrix inverse.
+
+    TPU note: this is NOT the default (PLU is, see module docstring) — slogdet
+    has no fp64 on TPU and a general inverse is slower than two triangular
+    solves. It exists for (a) exact Adam-trajectory parity with the reference
+    (Adam is not reparameterization-invariant, so PLU-vs-full-W training paths
+    diverge even from identical initial weights) and (b) loss-free import of
+    reference checkpoints for continued training.
+    """
+    rng = as_host_rng(key)
+    w = np.linalg.qr(rng.normal(size=(channels, channels)))[0]
+    return {"weight": np.asarray(w, np.float32)}
+
+
+def invconv_logdet(params: Params) -> jax.Array:
+    """Per-pixel log|det W|: sum(log_s) for PLU; slogdet for full-W."""
+    if "weight" in params:
+        return jnp.linalg.slogdet(params["weight"])[1]
+    return jnp.sum(params["log_s"])
+
+
 def invconv_weight(params: Params) -> jax.Array:
-    """Reassemble the full weight W = P @ L @ U' (fp32, [C, C] = [out, in])."""
+    """Reassemble the full weight W (fp32, [C, C] = [out, in]): the stored
+    matrix in full-W mode, or P @ L @ U' from the PLU factors."""
+    if "weight" in params:
+        return params["weight"]
     c = params["log_s"].shape[0]
     eye = jnp.eye(c, dtype=jnp.float32)
     l = eye + jnp.tril(params["lower"], -1)
@@ -196,14 +223,17 @@ def invconv_forward(params: Params, x: jax.Array, ldj: jax.Array) -> Tuple[jax.A
     wmat = invconv_weight(params)
     y = jnp.einsum("bhwc,oc->bhwo", x, wmat, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    ldj = ldj + (h * w) * jnp.sum(params["log_s"]).astype(ldj.dtype)
+    ldj = ldj + (h * w) * invconv_logdet(params).astype(ldj.dtype)
     return y, ldj
 
 
 def invconv_inverse_weight(params: Params) -> jax.Array:
     """W^{-1} = U^{-1} L^{-1} P^T via two C x C triangular solves against the
     identity — O(C^3) once, then the pixel application is a single MXU
-    matmul (a [N, C] x [C, C] triangular solve is latency-bound on TPU)."""
+    matmul (a [N, C] x [C, C] triangular solve is latency-bound on TPU).
+    Full-W mode falls back to a general inverse (transforms.py:144)."""
+    if "weight" in params:
+        return jnp.linalg.inv(params["weight"])
     c = params["log_s"].shape[0]
     eye = jnp.eye(c, dtype=jnp.float32)
     l = eye + jnp.tril(params["lower"], -1)
@@ -382,34 +412,44 @@ def gaussian_sample(
 # One Glow step: actnorm -> 1x1 conv -> coupling (glow.py:12-63)
 # ---------------------------------------------------------------------------
 
-def init_step(key, channels: int, width: int = 512) -> Params:
+def init_step(key, channels: int, width: int = 512,
+              invconv_param: str = "plu") -> Params:
     rng = as_host_rng(key)
+    init_ic = init_invconv_full if invconv_param == "full" else init_invconv
     return {
         "actnorm": init_actnorm(channels),
-        "invconv": init_invconv(rng, channels),
+        "invconv": init_ic(rng, channels),
         "coupling": init_coupling(rng, channels, width),
     }
 
 
-def fused_actnorm_invconv_forward(
-    an: Params, ic: Params, x: jax.Array, ldj: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
-    """actnorm + PLU 1x1 conv folded into ONE matmul + bias:
+def fold_actnorm_invconv(an: Params, ic: Params) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fold actnorm into the 1x1-conv weight:
 
         W (e^s * (x + b)) = x @ (W diag(e^s))^T + W (e^s * b)
 
-    Exact same math as the two ops, one fewer full-tensor HBM pass (the
-    actnorm elementwise disappears into the MXU epilogue);
-    ldj += H*W*(sum(s) + sum(log_s))."""
-    h, w = x.shape[1], x.shape[2]
+    Returns (w_fold [O, C], b_fold [O], per-pixel logdet scalar)."""
     wmat = invconv_weight(ic)                       # [O, C]
     es = jnp.exp(an["scale"])                        # [C]
     w_fold = wmat * es[None, :]                      # W diag(e^s), [O, C]
     b_fold = jnp.matmul(wmat, es * an["bias"],
                         precision=jax.lax.Precision.HIGHEST)  # [O]
+    return w_fold, b_fold, jnp.sum(an["scale"]) + invconv_logdet(ic)
+
+
+def fused_actnorm_invconv_forward(
+    an: Params, ic: Params, x: jax.Array, ldj: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """actnorm + PLU 1x1 conv folded into ONE matmul + bias.
+
+    Exact same math as the two ops, one fewer full-tensor HBM pass (the
+    actnorm elementwise disappears into the MXU epilogue);
+    ldj += H*W*(sum(s) + sum(log_s))."""
+    h, w = x.shape[1], x.shape[2]
+    w_fold, b_fold, ld = fold_actnorm_invconv(an, ic)
     y = jnp.einsum("bhwc,oc->bhwo", x, w_fold, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST) + b_fold
-    ldj = ldj + (h * w) * (jnp.sum(an["scale"]) + jnp.sum(ic["log_s"])).astype(ldj.dtype)
+    ldj = ldj + (h * w) * ld.astype(ldj.dtype)
     return y, ldj
 
 
@@ -424,12 +464,44 @@ def fused_invconv_actnorm_inverse(an: Params, ic: Params, y: jax.Array) -> jax.A
 
 
 def step_forward(params: Params, x: jax.Array, ldj: jax.Array,
-                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                 dtype=jnp.float32, use_pallas: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+    if use_pallas:
+        return step_forward_pallas(params, x, ldj, dtype)
     y, ldj = fused_actnorm_invconv_forward(
         params["actnorm"], params["invconv"], x, ldj
     )
     y, ldj = coupling_forward(params["coupling"], y, ldj, dtype)
     return y, ldj
+
+
+def step_forward_pallas(params: Params, x: jax.Array, ldj: jax.Array,
+                        dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Glow step with the Pallas TPU kernels on the memory-bound portions
+    (GlowConfig.use_pallas): the folded actnorm+invconv channel mix runs as
+    ops/pallas/channel_mix (one HBM pass, weights VMEM-resident) and the
+    coupling's post-CNN tail as ops/pallas/coupling_tail (elementwise +
+    logdet reduction in one pass, custom VJP). The coupling CNN's convs stay
+    on XLA (its conv layouts beat an im2col kernel at these shapes).
+    Numerically identical to the XLA path: fp32 accumulation throughout."""
+    from .pallas.channel_mix import channel_mix
+    from .pallas.coupling_tail import coupling_tail
+
+    # Mosaic kernels need real TPU hardware; on CPU (tests, virtual meshes)
+    # fall back to the pallas interpreter — same math, trace-time decision.
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    h, w = x.shape[1], x.shape[2]
+    w_fold, b_fold, ld = fold_actnorm_invconv(params["actnorm"], params["invconv"])
+    y = channel_mix(x, w_fold, b_fold, interpret)
+    ldj = ldj + (h * w) * ld.astype(ldj.dtype)
+
+    c = y.shape[-1]
+    y_a, x_b = y[..., : c // 2], y[..., c // 2:]
+    net_out = coupling_net_apply(params["coupling"]["net"], y_a, dtype)
+    log_scale, bias = net_out[..., : c // 2], net_out[..., c // 2:]
+    y_b, ldj_part = coupling_tail(log_scale, bias, x_b, interpret)
+    return jnp.concatenate([y_a, y_b], axis=-1), ldj + ldj_part.astype(ldj.dtype)
 
 
 def step_inverse(params: Params, y: jax.Array, dtype=jnp.float32) -> jax.Array:

@@ -12,9 +12,12 @@ across the whole grid.
 
 The channel counts in Glow are small (<= 2^(L+1)*C_img, e.g. 48..192), so C
 and O are zero-padded to the 128-lane boundary once on the host side of the
-call; the pad is sliced off on return. Used when `GlowConfig.use_pallas`
-is set; numerically identical to the XLA path (fp32 accumulate) — see
-tests/test_pallas_kernels.py, which runs it in interpreter mode on CPU.
+call; the pad is sliced off on return. Selected by `GlowConfig.use_pallas`
+(models/glow.py -> ops/bijectors.py:step_forward); numerically identical to
+the XLA path (fp32 accumulate) — see tests/test_pallas_kernels.py.
+
+Trainable via custom VJP: the op is linear, so dx is the same kernel with
+W^T (no bias), and dW/db are one einsum/reduction each (XLA).
 """
 
 from __future__ import annotations
@@ -43,10 +46,16 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def channel_mix(x: jax.Array, w_fold: jax.Array, b_fold: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """x: [B, H, W, C]; w_fold: [O, C]; b_fold: [O] -> [B, H, W, O]."""
+    return _channel_mix_impl(x, w_fold, b_fold, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _channel_mix_impl(x: jax.Array, w_fold: jax.Array, b_fold: jax.Array,
+                      interpret: bool = False) -> jax.Array:
     bsz, hh, ww, c = x.shape
     o = w_fold.shape[0]
     n = bsz * hh * ww
@@ -77,3 +86,24 @@ def channel_mix(x: jax.Array, w_fold: jax.Array, b_fold: jax.Array,
         interpret=interpret,
     )(xf, wt, bf)
     return out[:n, :o].reshape(bsz, hh, ww, o)
+
+
+def _channel_mix_fwd(x, w_fold, b_fold, interpret):
+    return _channel_mix_impl(x, w_fold, b_fold, interpret), (x, w_fold)
+
+
+def _channel_mix_bwd(interpret, res, g):
+    x, w_fold = res
+    # dx = g @ W: the same channel-mix kernel with W^T and zero bias
+    o = w_fold.shape[0]
+    dx = _channel_mix_impl(g, w_fold.T, jnp.zeros((w_fold.shape[1],), jnp.float32),
+                           interpret)
+    # dW[o, c] = sum_n g[n, o] x[n, c]; db[o] = sum_n g[n, o]  (XLA)
+    gf = g.reshape(-1, o).astype(jnp.float32)
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    dw = jnp.einsum("no,nc->oc", gf, xf, precision=jax.lax.Precision.HIGHEST)
+    db = jnp.sum(gf, axis=0)
+    return dx, dw, db
+
+
+channel_mix.defvjp(_channel_mix_fwd, _channel_mix_bwd)

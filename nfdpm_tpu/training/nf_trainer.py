@@ -59,17 +59,27 @@ class NFTrainConfig:
     # Set False to also train the prior (capability extension).
 
 
-def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx):
+def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
+                    inject_noise: bool = False):
     """Build the jitted train step: (state, batch, base_key) -> (state, metrics).
 
     The per-step dequantization key is folded from (base_key, state.step)
     INSIDE the jit — over a tunneled TPU every host-side key op is a slow
-    RPC, so the hot loop performs zero device ops outside the step itself."""
+    RPC, so the hot loop performs zero device ops outside the step itself.
+
+    `inject_noise=True` swaps the in-jit PRNG draw for a caller-supplied
+    U(0,1) noise tensor (third arg becomes `noise` instead of `base_key`) —
+    used by the trained-trajectory parity harness to feed bit-identical
+    dequantization noise to this step and the PyTorch reference
+    (/root/reference/normalizing_flow/trainer.py:155)."""
     n_bins = q.n_bins_of(tcfg.n_bits)
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key_or_noise):
         x = q.preprocess(batch, tcfg.n_bits)
-        x = q.dequantize(key, x, tcfg.n_bits)
+        if inject_noise:
+            x = x + key_or_noise / n_bins
+        else:
+            x = q.dequantize(key_or_noise, x, tcfg.n_bits)
         latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
         logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
         ll = ldj + logp
@@ -80,7 +90,8 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx):
         return bpd, ll
 
     def train_step(state, batch, base_key):
-        step_key = jax.random.fold_in(base_key, state["step"])
+        step_key = base_key if inject_noise else jax.random.fold_in(
+            base_key, state["step"])
         (bpd, ll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, step_key
         )

@@ -70,29 +70,39 @@ def _coupling_net(sd: Mapping, prefix: str) -> Dict[str, Any]:
     }
 
 
-def _step(sd: Mapping, prefix: str) -> Dict[str, Any]:
+def _step(sd: Mapping, prefix: str, invconv_param: str = "plu") -> Dict[str, Any]:
     w = _t(sd[f"{prefix}.invconv2d.weight"])[:, :, 0, 0]
+    invconv = {"weight": w} if invconv_param == "full" else plu_from_weight(w)
     return {
         "actnorm": _actnorm(sd, f"{prefix}.actnorm"),
-        "invconv": plu_from_weight(w),
+        "invconv": invconv,
         "coupling": {"net": _coupling_net(sd, f"{prefix}.affcoupling.net")},
     }
 
 
-def import_glow_state_dict(sd: Mapping, levels: int, steps: int) -> Dict[str, Any]:
-    """reference Glow.state_dict() -> nfdpm_tpu glow params tree."""
+def import_glow_state_dict(sd: Mapping, levels: int, steps: int,
+                           invconv_param: str = "plu") -> Dict[str, Any]:
+    """reference Glow.state_dict() -> nfdpm_tpu glow params tree.
+
+    `invconv_param="full"` keeps the reference's [C, C] 1x1-conv weight as-is
+    (GlowConfig.invconv_param="full") — required when the imported model will
+    be TRAINED and the optimizer trajectory must match the reference (Adam is
+    not reparameterization-invariant); "plu" (default) decomposes for the
+    TPU-fast inference/likelihood path."""
     import jax
     import numpy as np
 
     blocks = []
     for b in range(levels - 1):
-        step_list = [_step(sd, f"blocks.{b}.flows.{k}") for k in range(steps)]
+        step_list = [_step(sd, f"blocks.{b}.flows.{k}", invconv_param)
+                     for k in range(steps)]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *step_list)
         split_prefix = f"blocks.{b}.split.conv"
         split = {"conv": _zeroconv(sd, split_prefix)} \
             if f"{split_prefix}.weight" in sd else {"conv": None}
         blocks.append({"steps": stacked, "split": split})
-    final_list = [_step(sd, f"final_flows.{k}") for k in range(steps)]
+    final_list = [_step(sd, f"final_flows.{k}", invconv_param)
+                  for k in range(steps)]
     final = jax.tree.map(lambda *xs: np.stack(xs), *final_list)
     return {"blocks": tuple(blocks), "final_steps": final}
 

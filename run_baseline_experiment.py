@@ -58,6 +58,7 @@ def main(argv):
         scan_unroll=int(arch.get("scan_unroll", 4)),
         coupling_dtype=str(arch.get("coupling_dtype", "float32")),
         remat=bool(arch.get("remat", False)),
+        use_pallas=bool(arch.get("use_pallas", False)),
     )
     tr = cfg.model.training
     tcfg = nft.NFTrainConfig(

@@ -87,6 +87,37 @@ class TestInvConv:
             jnp.sum(params["log_s"]), jnp.linalg.slogdet(w)[1], rtol=1e-5, atol=1e-5
         )
 
+    def test_full_param_mode_matches_plu(self, keys):
+        """The full-W parameterization (reference-exact, used for trajectory
+        parity) computes the same function + logdet as the PLU default when
+        both hold the same weight."""
+        w = jnp.linalg.qr(jax.random.normal(keys[6], (12, 12)))[0] * 1.3
+        plu = bj.plu_from_weight(w)
+        full = {"weight": jnp.asarray(w, jnp.float32)}
+        x = rand(keys[7], (3, 4, 4, 12))
+        y_p, ldj_p = bj.invconv_forward(plu, x, jnp.zeros((3,)))
+        y_f, ldj_f = bj.invconv_forward(full, x, jnp.zeros((3,)))
+        np.testing.assert_allclose(y_f, y_p, atol=1e-4)
+        np.testing.assert_allclose(ldj_f, ldj_p, rtol=1e-5, atol=1e-4)
+        # roundtrip through the general-inverse path
+        np.testing.assert_allclose(bj.invconv_inverse(full, y_f), x, atol=EPS)
+        # fused actnorm+invconv agrees across parameterizations too
+        an = {"scale": rand(keys[8], (12,)) * 0.1, "bias": rand(keys[9], (12,)) * 0.1}
+        z_p, l_p = bj.fused_actnorm_invconv_forward(an, plu, x, jnp.zeros((3,)))
+        z_f, l_f = bj.fused_actnorm_invconv_forward(an, full, x, jnp.zeros((3,)))
+        np.testing.assert_allclose(z_f, z_p, atol=1e-4)
+        np.testing.assert_allclose(l_f, l_p, rtol=1e-5, atol=1e-4)
+
+    def test_full_param_mode_is_trainable_leaf(self, keys):
+        """init_invconv_full produces a single trainable 'weight' leaf (no
+        frozen PLU constants for the optimizer mask to exclude)."""
+        from nfdpm_tpu.training.optim import trainable_mask
+
+        params = bj.init_invconv_full(keys[10], 6)
+        assert set(params) == {"weight"}
+        mask = trainable_mask(params)
+        assert mask["weight"] is True
+
 
 class TestAffineCoupling:
     def test_roundtrip(self, keys):

@@ -85,3 +85,69 @@ class TestCouplingTail:
         for a, r in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestUsePallasPath:
+    """GlowConfig.use_pallas routes the product step through the kernels
+    (interpreter mode here on CPU; natively compiled + benched on TPU,
+    tools/bench_pallas_step.py). Forward, gradients, and a short training
+    trajectory must match the XLA path."""
+
+    def _setup(self, use_pallas):
+        from nfdpm_tpu.models import glow as glow_m
+
+        cfg = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                                coupling_width=32, use_pallas=use_pallas)
+        params = glow_m.init_glow(0, cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 8, 3)) - 0.5
+        return glow_m, cfg, params, x
+
+    def test_forward_matches_xla(self):
+        glow_m, cfg_p, params, x = self._setup(True)
+        cfg_x = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                                  coupling_width=32, use_pallas=False)
+        lat_p, ldj_p, logp_p = glow_m.forward(params, cfg_p, x)
+        lat_x, ldj_x, logp_x = glow_m.forward(params, cfg_x, x)
+        for a, b in zip(lat_p, lat_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ldj_p), np.asarray(ldj_x),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(logp_p), np.asarray(logp_x),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_gradients_match_xla(self):
+        glow_m, cfg_p, params, x = self._setup(True)
+        cfg_x = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                                  coupling_width=32, use_pallas=False)
+
+        def loss(p, cfg):
+            lats, ldj, logp = glow_m.forward(p, cfg, x)
+            return jnp.mean(ldj + logp)
+
+        g_p = jax.grad(lambda p: loss(p, cfg_p))(params)
+        g_x = jax.grad(lambda p: loss(p, cfg_x))(params)
+        errs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g_p, g_x)
+        assert max(jax.tree_util.tree_leaves(errs)) < 1e-4
+
+    def test_train_trajectory_matches_xla(self):
+        from nfdpm_tpu.models import glow as glow_m
+        from nfdpm_tpu.training import nf_trainer as nft
+        from nfdpm_tpu.training.optim import make_optimizer
+
+        def run(use_pallas):
+            cfg = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                                    coupling_width=32, use_pallas=use_pallas)
+            tcfg = nft.NFTrainConfig(lr=1e-3)
+            tx = make_optimizer("adam", 1e-3, fixed_prior=True)
+            state = nft.init_train_state(0, cfg, tcfg, tx)
+            step = nft.make_train_step(cfg, tcfg, tx)
+            batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 8, 3))
+            key = jax.random.PRNGKey(0)
+            out = []
+            for _ in range(4):
+                state, m = step(state, batch, key)
+                out.append(float(m["bpd"]))
+            return np.asarray(out)
+
+        np.testing.assert_allclose(run(True), run(False), rtol=1e-5, atol=2e-4)
