@@ -65,13 +65,20 @@ def resize(images: np.ndarray, size: int) -> np.ndarray:
     return out
 
 
-def apply_static_transform(ds: ArrayDataset, data_name: str, img_size: int) -> ArrayDataset:
+def apply_static_transform(ds: ArrayDataset, data_name: str, img_size: int,
+                           train: bool = True) -> ArrayDataset:
     """The deterministic part of the reference's transforms
-    (utils.py:152-168): MNIST pads to img_size when >28, others resize."""
-    if data_name == "MNIST" and img_size > ds.images.shape[1]:
+    (utils.py:152-168): the TRAIN transform pads MNIST to img_size when >28
+    (Pad((img_size-28)//2), utils.py:155-156) while the TEST transform is
+    always Resize (utils.py:164) — the reference trains on padded digits but
+    evaluates BPD/SSIM on bilinearly-resized ones (its eval loader reuses the
+    test transform on train data, dataset.py:85-88); replicated verbatim."""
+    if train and data_name == "MNIST" and img_size > ds.images.shape[1]:
         images = pad_to(ds.images, img_size)
-    else:
+    elif img_size != ds.images.shape[1]:
         images = resize(ds.images, img_size)
+    else:
+        images = ds.images
     return ArrayDataset(images, ds.labels, ds.name)
 
 
@@ -200,8 +207,12 @@ def read_dataset(
             n = synthetic_n if split == "train" else max(synthetic_n // 4, batch_size)
             return synthetic(n, img_size, chans, seed=0 if split == "train" else 1)
 
-    train_raw = apply_static_transform(load("train"), data_name, img_size)
-    test_ds = apply_static_transform(load("test"), data_name, img_size)
+    train_split = load("train")
+    train_raw = apply_static_transform(train_split, data_name, img_size, train=True)
+    # the reference's "eval" loader is train DATA under the TEST transform
+    # (dataset.py:85-88) — for MNIST that means resize, not pad
+    eval_raw = apply_static_transform(train_split, data_name, img_size, train=False)
+    test_ds = apply_static_transform(load("test"), data_name, img_size, train=False)
 
     if validate:
         tr_idx, va_idx = stratified_split(train_raw.labels, 0.2, seed)
@@ -215,7 +226,7 @@ def read_dataset(
         train=Loader(train_ds, batch_size, shuffle=True, drop_last=True, random_hflip=hflip, seed=seed),
         val=val_loader,
         test=Loader(test_ds, batch_size, shuffle=False, seed=seed),
-        eval=Loader(train_raw, batch_size, shuffle=True, seed=seed + 1),
+        eval=Loader(eval_raw, batch_size, shuffle=True, seed=seed + 1),
     )
 
 

@@ -51,11 +51,22 @@ def init_coupling_net(
 def _conv_actnorm(x: jax.Array, conv: Params, an: Params, padding: int,
                   dtype=jnp.float32) -> jax.Array:
     """Conv with the actnorm affine folded into the epilogue. `dtype`
-    selects the MXU input precision (bf16 doubles throughput on TPU; the
-    epilogue and accumulation stay fp32, and forward/inverse remain exactly
-    consistent because both directions evaluate the identical function)."""
-    h = conv2d_nhwc(x.astype(dtype), jnp.asarray(conv["w"]).astype(dtype),
-                    padding=padding)
+    selects the MXU precision (bf16 doubles throughput on TPU; the epilogue
+    stays fp32, and forward/inverse remain exactly consistent because both
+    directions evaluate the identical function)."""
+    if dtype == jnp.float32:
+        h = conv2d_nhwc(x, jnp.asarray(conv["w"]), padding=padding)
+    else:
+        # bf16 in -> bf16 out, NO preferred_element_type=fp32: the conv
+        # transpose rule cannot mix an fp32 cotangent with a bf16 kernel, so
+        # the fp32 upcast must be an explicit jaxpr op (its transpose casts
+        # the cotangent back to bf16 before the conv transpose).
+        h = jax.lax.conv_general_dilated(
+            x.astype(dtype), jnp.asarray(conv["w"]).astype(dtype),
+            window_strides=(1, 1),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
     return jnp.exp(an["scale"]) * (h + an["bias"])
 
 

@@ -190,3 +190,42 @@ class TestDatasetReaders:
         test = read_celeba(str(tmp_path), [2], img_size=32)
         assert train.images.shape == (2, 32, 32, 3)
         assert test.images.shape == (1, 32, 32, 3)
+
+
+class TestMnistTransformQuirk:
+    """The reference trains MNIST on Pad(2)-padded digits but evaluates on
+    bilinearly RESIZED ones (test transform is Resize even for MNIST,
+    utils.py:164; the eval loader reuses it on train data, dataset.py:85-88).
+    Replicated: train loader padded, test/eval loaders resized."""
+
+    def _loaders(self, tmp_path):
+        import gzip
+        import struct
+
+        from nfdpm_tpu.data.pipeline import read_dataset
+
+        rng = np.random.default_rng(0)
+        raw = tmp_path / "MNIST" / "raw"
+        raw.mkdir(parents=True)
+        for prefix, n in (("train", 8), ("t10k", 4)):
+            imgs = rng.integers(0, 256, (n, 28, 28)).astype(np.uint8)
+            labels = rng.integers(0, 10, n).astype(np.uint8)
+            with gzip.open(raw / f"{prefix}-images-idx3-ubyte.gz", "wb") as f:
+                f.write(struct.pack(">IIII", 0x803, n, 28, 28) + imgs.tobytes())
+            with gzip.open(raw / f"{prefix}-labels-idx1-ubyte.gz", "wb") as f:
+                f.write(struct.pack(">II", 0x801, n) + labels.tobytes())
+        return read_dataset("MNIST", str(tmp_path), batch_size=4, img_size=32)
+
+    def test_train_padded_eval_resized(self, tmp_path):
+        loaders = self._loaders(tmp_path)
+        # train: zero border from Pad(2)
+        tr = loaders.train.dataset.images
+        assert tr.shape[1:] == (32, 32, 1)
+        assert tr[:, :2].max() == 0 and tr[:, -2:].max() == 0
+        # eval (train data, test transform): resized — border not all zero
+        ev = loaders.eval.dataset.images
+        assert ev.shape[1:] == (32, 32, 1)
+        assert ev[:, :2].max() > 0
+        te = loaders.test.dataset.images
+        assert te.shape[1:] == (32, 32, 1)
+        assert te[:, :2].max() > 0
