@@ -46,8 +46,8 @@ def bench_ddpm():
 
     h = w = 16
     c = 6
-    batch = 64
-    T = 250
+    batch = int(os.environ.get("NFDPM_BENCH_DDPM_BATCH", "64"))
+    T = int(os.environ.get("NFDPM_BENCH_DDPM_T", "250"))
 
     unet = Unet(dim=64, dim_mults=(1, 2), channels=c, resnet_block_groups=8)
     variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((batch, h, w, c)),

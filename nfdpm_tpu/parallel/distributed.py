@@ -52,3 +52,19 @@ def global_batch_from_local(mesh, local_batch):
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("data")), local_batch
     )
+
+
+def distribute_batch(mesh, global_batch):
+    """Multi-host data path in one call: every host loads the SAME global
+    batch (the host data pipeline is deterministic, data/pipeline.py Loader),
+    takes its process's slice (`data.pipeline.host_shard`), and assembles the
+    globally-sharded array. Single-process: plain device_put onto the mesh."""
+    from ..data.pipeline import host_shard
+
+    if jax.process_count() == 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(global_batch,
+                              NamedSharding(mesh, P("data")))
+    local = host_shard(global_batch, jax.process_index(), jax.process_count())
+    return global_batch_from_local(mesh, local)

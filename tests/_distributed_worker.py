@@ -59,4 +59,15 @@ with mesh:
 expected = float(np.arange(24, dtype=np.float32).sum())  # both halves
 got = float(total)
 assert got == expected, f"global sum {got} != {expected} (missing a host's shard?)"
+
+# distribute_batch: every host holds the same global batch; each takes its
+# host_shard slice and the assembled global array must reduce identically.
+from nfdpm_tpu.parallel.distributed import distribute_batch  # noqa: E402
+
+full = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+dist = distribute_batch(mesh, full)
+assert dist.shape == (8, 3), dist.shape
+with mesh:
+    total2 = float(jax.jit(jnp.sum)(dist))
+assert total2 == float(full.sum()), f"distribute_batch sum {total2}"
 print(f"WORKER_OK {proc_id} sum={got}")

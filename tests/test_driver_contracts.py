@@ -16,6 +16,8 @@ def test_bench_prints_single_json_line():
         "NFDPM_BENCH_BATCH": "8",
         "NFDPM_BENCH_CHAIN": "2",
         "NFDPM_BENCH_WIDTH": "16",
+        "NFDPM_BENCH_DDPM_BATCH": "2",
+        "NFDPM_BENCH_DDPM_T": "4",
         "JAX_PLATFORMS": "cpu",
         "NFDPM_FORCE_CPU": "1",
     })
