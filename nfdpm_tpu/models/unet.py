@@ -30,11 +30,16 @@ from flax import linen as nn
 
 class WeightStandardizedConv(nn.Module):
     """Conv whose kernel is standardized per output channel
-    (gaussian_diffusion.py:183-197; eps 1e-5 in fp32)."""
+    (gaussian_diffusion.py:183-197; eps 1e-5 in fp32).
+
+    `dtype=bfloat16` runs the conv itself in bf16 (standardization stays
+    fp32; the output is upcast via an explicit cast so the conv transpose
+    sees matching dtypes in grad mode — cf. ops/coupling.py)."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     padding: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -49,10 +54,10 @@ class WeightStandardizedConv(nn.Module):
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
         y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1),
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
             [(self.padding, self.padding), (self.padding, self.padding)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ).astype(jnp.float32)
         return y + bias
 
 
@@ -106,10 +111,12 @@ class Block(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = WeightStandardizedConv(self.dim_out, (3, 3), padding=1)(x)
+        x = WeightStandardizedConv(self.dim_out, (3, 3), padding=1,
+                                   dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -122,6 +129,7 @@ class ResnetBlock(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, time_emb=None):
@@ -130,10 +138,11 @@ class ResnetBlock(nn.Module):
             h_t = nn.Dense(self.dim_out * 2)(nn.silu(time_emb))
             h_t = h_t[:, None, None, :]
             scale_shift = jnp.split(h_t, 2, axis=-1)
-        h = Block(self.dim_out, self.groups)(x, scale_shift)
-        h = Block(self.dim_out, self.groups)(h)
+        h = Block(self.dim_out, self.groups, self.dtype)(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype)(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1))(x)
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x).astype(
+                jnp.float32)
         return h + x
 
 
@@ -211,24 +220,28 @@ class Downsample(nn.Module):
     space-to-depth uses the flow's squeeze (identical channel order)."""
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from ..ops.bijectors import squeeze_forward
 
-        return nn.Conv(self.dim_out, (1, 1))(squeeze_forward(x))
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(
+            squeeze_forward(x)).astype(jnp.float32)
 
 
 class Upsample(nn.Module):
     """nearest 2x + 3x3 conv (gaussian_diffusion.py:169-173)."""
 
     dim_out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.dim_out, (3, 3), padding=1)(x)
+        return nn.Conv(self.dim_out, (3, 3), padding=1,
+                       dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class Unet(nn.Module):
@@ -248,6 +261,12 @@ class Unet(nn.Module):
     remat: bool = False  # rematerialize ResnetBlocks in the backward pass
     # (activation memory ~ O(depth) -> O(1) per block; for CelebA-128-scale
     # UNets, cf. jax.checkpoint on the flow scan)
+    dtype: jnp.dtype = jnp.float32  # bfloat16: conv compute in bf16 (norms,
+    # time embeddings, attention softmax, and residual adds stay fp32).
+    # Measured perf-NEUTRAL on v5e at 16^2..64^2 latents (XLA already runs
+    # fp32 convs as bf16 MXU passes; explicit casts add no win while
+    # activations are upcast between ops) — provided as a mixed-precision
+    # capability knob, ~0.9% output delta vs fp32 on identical params.
 
     @property
     def effective_out_dim(self) -> int:
@@ -262,7 +281,8 @@ class Unet(nn.Module):
             x = jnp.concatenate([x_self_cond, x], axis=-1)
 
         init_dim = self.init_dim or self.dim
-        x = nn.Conv(init_dim, (7, 7), padding=3)(x)
+        x = nn.Conv(init_dim, (7, 7), padding=3,
+                    dtype=self.dtype)(x).astype(jnp.float32)
         r = x
 
         # time embedding
@@ -280,33 +300,36 @@ class Unet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         groups = self.resnet_block_groups
         Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        dt = self.dtype
 
         hs = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = Res(dim_in, groups, name=f"down_{ind}_res1")(x, t)
+            x = Res(dim_in, groups, dt, name=f"down_{ind}_res1")(x, t)
             hs.append(x)
-            x = Res(dim_in, groups, name=f"down_{ind}_res2")(x, t)
+            x = Res(dim_in, groups, dt, name=f"down_{ind}_res2")(x, t)
             x = PreNormResidual(LinearAttention())(x)
             hs.append(x)
-            x = (nn.Conv(dim_out, (3, 3), padding=1)(x) if is_last
-                 else Downsample(dim_out)(x))
+            x = (nn.Conv(dim_out, (3, 3), padding=1,
+                         dtype=dt)(x).astype(jnp.float32) if is_last
+                 else Downsample(dim_out, dt)(x))
 
         mid_dim = dims[-1]
-        x = Res(mid_dim, groups, name="mid_res1")(x, t)
+        x = Res(mid_dim, groups, dt, name="mid_res1")(x, t)
         x = PreNormResidual(Attention())(x)
-        x = Res(mid_dim, groups, name="mid_res2")(x, t)
+        x = Res(mid_dim, groups, dt, name="mid_res2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = Res(dim_out, groups, name=f"up_{ind}_res1")(x, t)
+            x = Res(dim_out, groups, dt, name=f"up_{ind}_res1")(x, t)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = Res(dim_out, groups, name=f"up_{ind}_res2")(x, t)
+            x = Res(dim_out, groups, dt, name=f"up_{ind}_res2")(x, t)
             x = PreNormResidual(LinearAttention())(x)
-            x = (nn.Conv(dim_in, (3, 3), padding=1)(x) if is_last
-                 else Upsample(dim_in)(x))
+            x = (nn.Conv(dim_in, (3, 3), padding=1,
+                         dtype=dt)(x).astype(jnp.float32) if is_last
+                 else Upsample(dim_in, dt)(x))
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = Res(self.dim, groups, name="final_res")(x, t)
+        x = Res(self.dim, groups, dt, name="final_res")(x, t)
         return nn.Conv(self.effective_out_dim, (1, 1))(x)

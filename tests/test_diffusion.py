@@ -185,3 +185,28 @@ class TestExtras:
         o1 = u1.apply(v, x, t, None)
         o2 = u2.apply(v, x, t, None)  # same params work for the remat variant
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_unet_bfloat16_dtype_knob():
+    """Unet(dtype=bfloat16) computes convs in bf16 on the SAME fp32 param
+    tree: fp32 output, close to the fp32 path, and differentiable (the
+    explicit post-conv casts keep the conv transpose dtypes consistent)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nfdpm_tpu.models.unet import Unet
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    t = jnp.array([3, 7])
+    kw = dict(dim=16, dim_mults=(1, 2), channels=3, resnet_block_groups=8)
+    u32 = Unet(**kw)
+    params = u32.init(jax.random.PRNGKey(0), x, t, None)["params"]
+    y32 = u32.apply({"params": params}, x, t, None)
+    u16 = Unet(dtype=jnp.bfloat16, **kw)
+    y16 = u16.apply({"params": params}, x, t, None)
+    assert y16.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(y32))) + 1e-6
+    assert float(jnp.max(jnp.abs(y32 - y16))) / scale < 0.05
+    g = jax.grad(lambda p: jnp.sum(u16.apply({"params": p}, x, t, None) ** 2))(params)
+    assert all(np.isfinite(l).all() for l in jax.tree_util.tree_leaves(g))
