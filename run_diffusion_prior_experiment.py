@@ -55,11 +55,17 @@ def main(argv):
     in_channels = 1 if cfg.data.name == "MNIST" else 3
     frozen = bool(nf_cfg.freeze)
 
+    use_pallas = bool(nf_cfg.get("use_pallas", False))
     if nf_cfg.init_nf.mode == "pretrain":
         pretrain_dir = os.path.join("outputs", nf_cfg.init_nf.pretrain.dir)
         backbone, flow_params = load_pretrained_flow(
             pretrain_dir, int(nf_cfg.init_nf.pretrain.epoch), frozen
         )
+        if use_pallas:
+            import dataclasses as _dc
+
+            backbone = _dc.replace(
+                backbone, cfg=_dc.replace(backbone.cfg, use_pallas=True))
         logger.info(f"Loaded pretrained flow from {pretrain_dir}")
     else:
         sc = nf_cfg.init_nf.scratch
@@ -67,6 +73,7 @@ def main(argv):
             in_channels=in_channels, levels=int(sc.L), steps=int(sc.K),
             coupling_width=int(sc.get("coupling_width", 512)),
             scan_unroll=int(sc.get("scan_unroll", 4)),
+            use_pallas=use_pallas,
         )
         backbone = NFBackbone(cfg=gcfg, img_size=img_size, frozen=frozen)
         flow_params = glow_m.init_glow(int(cfg.seed), gcfg)

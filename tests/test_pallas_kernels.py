@@ -151,3 +151,34 @@ class TestUsePallasPath:
             return np.asarray(out)
 
         np.testing.assert_allclose(run(True), run(False), rtol=1e-5, atol=2e-4)
+
+
+class TestStepMegakernel:
+    """Fused whole-step kernel (ops/pallas/step_megakernel.py): exact vs the
+    XLA step_forward on CPU-fp32 (interpret mode). Experimental — see
+    BENCH.md for the on-hardware verdict before wiring it anywhere."""
+
+    def test_matches_step_forward(self):
+        from nfdpm_tpu.ops.pallas.step_megakernel import step_megakernel_forward
+
+        rng = np.random.default_rng(0)
+        C, H, W, B = 12, 16, 16, 5  # odd batch exercises tile padding
+        params = bj.init_step(3, C, width=64)
+        params["actnorm"] = {
+            "scale": rng.normal(size=C).astype(np.float32) * 0.1,
+            "bias": rng.normal(size=C).astype(np.float32) * 0.1,
+        }
+        params["coupling"]["net"]["zconv"]["w"] = (
+            rng.normal(size=params["coupling"]["net"]["zconv"]["w"].shape)
+            .astype(np.float32) * 0.05
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+        y_ref, ldj_ref = bj.step_forward(params, x, jnp.zeros((B,)))
+
+        wf, bf, ld = bj.fold_actnorm_invconv(params["actnorm"], params["invconv"])
+        y_k, tail = step_megakernel_forward(x, wf, bf, params["coupling"]["net"],
+                                            tile_b=4, interpret=True)
+        ldj_k = (H * W) * ld + tail
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ldj_k), np.asarray(ldj_ref),
+                                   rtol=1e-5, atol=1e-3)
