@@ -49,7 +49,12 @@ def render_digit(digit: int, rng: np.random.Generator) -> np.ndarray:
     # 3x3 box blur for soft strokes (MNIST-ish anti-aliasing)
     p = np.pad(img, 1)
     img = sum(p[i:i + 28, j:j + 28] for i in range(3) for j in range(3)) / 9.0
-    img = img + rng.normal(0.0, 4.0, (28, 28))
+    # stroke-masked sensor noise: the background stays EXACTLY black, like
+    # real MNIST — important because the reference trains on Pad(2)ed digits
+    # but evaluates on Resize(32)d ones (utils.py:155-164); a noisy
+    # background would make that train/eval distribution gap catastrophic
+    # instead of the mild one the real dataset has.
+    img = img + rng.normal(0.0, 4.0, (28, 28)) * (img > 1.0)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -45,6 +45,18 @@ def pad32(imgs):
     return np.pad(imgs, ((0, 0), (2, 2), (2, 2)))
 
 
+def resize32(imgs):
+    """torchvision Resize(32) semantics (PIL bilinear on uint8) — the
+    reference's TEST transform for MNIST (utils.py:164), used by its test
+    AND eval loaders (dataset.py:85-88) while training uses Pad(2)."""
+    from PIL import Image
+
+    out = np.empty((len(imgs), 32, 32), np.uint8)
+    for i, im in enumerate(imgs):
+        out[i] = np.asarray(Image.fromarray(im).resize((32, 32), Image.BILINEAR))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -70,9 +82,11 @@ def main():
 
     tr_imgs, _ = read_idx_split(args.root, "train")
     te_imgs, _ = read_idx_split(args.root, "t10k")
-    # pad to 32, [N, 1, 32, 32] in [0,1] (ToTensor)
+    # [N, 1, 32, 32] in [0,1] (ToTensor); train = Pad(2), eval = Resize(32)
+    # exactly like the reference's transforms
     x_train = pad32(tr_imgs)[:, None].astype(np.float32) / 255.0
-    x_test = pad32(te_imgs)[:, None].astype(np.float32) / 255.0
+    x_train_eval = resize32(tr_imgs)[:, None].astype(np.float32) / 255.0
+    x_test = resize32(te_imgs)[:, None].astype(np.float32) / 255.0
 
     torch.manual_seed(args.seed)
     model = glow_ref.Glow(in_channel=1, L=3, K=4)
@@ -141,7 +155,7 @@ def main():
         "recipe": {"L": 3, "K": 4, "epochs": args.epochs, "batch_size": bs,
                    "lr": args.lr, "n_bits": args.n_bits, "seed": args.seed,
                    "n_train": int(n), "n_test": int(len(x_test))},
-        "bpd_train": round(eval_bpd(x_train), 4),
+        "bpd_train": round(eval_bpd(x_train_eval), 4),
         "bpd_test": round(eval_bpd(x_test), 4),
         "wallclock_s": round(time.time() - t_start, 1),
     }
