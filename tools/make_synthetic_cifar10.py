@@ -15,10 +15,12 @@ Usage: python tools/make_synthetic_cifar10.py --root /tmp/cifar_synth \
 import argparse
 import os
 import pickle
+import sys
 
 import numpy as np
 
-from make_synthetic_mnist import render_digit
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from make_synthetic_mnist import render_digit  # noqa: E402
 
 # one hue per class, applied multiplicatively per channel
 _CLASS_RGB = np.array([
