@@ -106,16 +106,20 @@ def random_params(seed: int = 0):
     return _model().init(jax.random.PRNGKey(seed), x)["params"]
 
 
-def import_state_dict(sd, strict: bool = False):
+def import_state_dict(sd, strict: bool = False, model: "CLIPVisual" = None,
+                      template=None):
     """Map an OpenAI CLIP state dict (name -> ndarray; 'visual.'-prefixed
     keys; text-side keys ignored) onto the flax tree.
 
     `strict=True` (VERDICT round-1 item #2a) raises unless every 'visual.*'
     key was consumed and every flax leaf was assigned — no silently-skipped
-    weights."""
+    weights. `model`/`template` default to the ViT-B/32 production config;
+    tests pass smaller towers to exercise the same mapping cheaply."""
+    model = model if model is not None else _model()
     visual = {k[len("visual."):]: np.asarray(v) for k, v in sd.items()
               if k.startswith("visual.")}
-    p = jax.tree.map(np.asarray, random_params())
+    p = jax.tree.map(
+        np.asarray, template if template is not None else random_params())
     consumed = set()
 
     def take(key):
@@ -148,8 +152,8 @@ def import_state_dict(sd, strict: bool = False):
         i += 1
 
     if strict:
-        if i != _model().layers:
-            raise ValueError(f"imported {i} resblocks, model has {_model().layers}")
+        if i != model.layers:
+            raise ValueError(f"imported {i} resblocks, model has {model.layers}")
         leftover = set(visual) - consumed
         if leftover:
             raise ValueError(f"unconsumed visual.* keys: {sorted(leftover)[:10]}")

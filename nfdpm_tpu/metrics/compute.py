@@ -177,8 +177,14 @@ def calculate_fid_kid(
     gen: Callable[[int], np.ndarray],
     data_name: str, dataset_res: int, num_gen: int, dataset_split: str,
     batch_size: int, score_type: str, mode: str, model_name: str = "inception_v3",
-    stats_dir: str = fid_m.DEFAULT_STATS_DIR,
+    stats_dir: str = fid_m.DEFAULT_STATS_DIR, gen_batch_size: Optional[int] = None,
 ) -> float:
+    """`gen_batch_size` (default = batch_size) sets how many images each
+    sampler call produces — at FID scale the DDPM sampler chain amortizes
+    its per-step overhead over the batch, so 256+ is much faster per image
+    than the 32-64 used for feature-extraction batching (BENCH.md,
+    time-to-50k measurements)."""
+    gen_batch_size = gen_batch_size or batch_size
     dataset_res = 224 if data_name == "celeba" else dataset_res  # compute.py:256
     stats = fid_m.load_stats(data_name, mode, model_name, dataset_split, dataset_res,
                              stats_dir)
@@ -191,7 +197,7 @@ def calculate_fid_kid(
     feats = []
     remaining = num_gen
     while remaining > 0:
-        n = min(batch_size, remaining)
+        n = min(gen_batch_size, remaining)
         imgs = gen(n)
         feats.append(fid_m.extract_features(
             imgs, feature_fn, FEATURE_RES[model_name], mode, batch_size
@@ -224,6 +230,7 @@ def evaluate_model(
     ssim_psnr_kwargs: Optional[Dict] = None,
     stats_dir: str = fid_m.DEFAULT_STATS_DIR,
     logger=None,
+    gen_batch_size: Optional[int] = None,
 ) -> Dict[str, Any]:
     """One generation pass serves all requested metrics via Storage."""
     metrics: Dict[str, Any] = {}
@@ -244,7 +251,7 @@ def evaluate_model(
         key = f"FID{'_clean' if mode == 'clean' else ''}_{model_name.split('_')[0]}"
         metrics[key] = calculate_fid_kid(
             gen, data_name, dataset_res, num_gen, dataset_split, batch_size,
-            "FID", mode, model_name, stats_dir,
+            "FID", mode, model_name, stats_dir, gen_batch_size,
         )
         gen.storage.set_ready_for_usage()
         if logger:
@@ -255,7 +262,7 @@ def evaluate_model(
         key = f"KID{'_clean' if mode == 'clean' else ''}_{model_name.split('_')[0]}"
         metrics[key] = calculate_fid_kid(
             gen, data_name, dataset_res, num_gen, dataset_split, batch_size,
-            "KID", mode, model_name, stats_dir,
+            "KID", mode, model_name, stats_dir, gen_batch_size,
         )
         gen.storage.set_ready_for_usage()
         if logger:
@@ -329,6 +336,7 @@ def make_nf_evaluate_fn(
     quick_num_gen: int = 64,
     ssim_psnr: Optional[Dict] = None,
     dataset_split: str = "train",
+    gen_batch_size: int = 256,
 ):
     """evaluate_fn(sample_fn, params, epoch) used by both trainers: quick
     FID/KID at checkpoint epochs (reference num_gen=15 for NF trainer.py:202-207,
@@ -373,6 +381,7 @@ def make_nf_evaluate_fn(
                 dataset_split=split, fid_kwargs=fid_configs,
                 kid_kwargs=kid_configs, ssim_psnr_kwargs=ssim_kwargs,
                 stats_dir=stats_dir, logger=logger,
+                gen_batch_size=max(gen_batch_size, 32),
             )
             logger.info(f"epoch {epoch} metrics: {metrics}")
             return metrics

@@ -22,13 +22,27 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def ssim(pred: jax.Array, target: jax.Array, data_range: float = 255.0) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def ssim(pred: jax.Array, target: jax.Array, data_range: float = 255.0,
+         pad: str = "reflect") -> jax.Array:
     """Mean SSIM over a batch: [B, H, W, C] fp32 images in [0, data_range].
-    Gaussian window 11x11 sigma 1.5, K1=0.01, K2=0.03 (ignite defaults)."""
+    Gaussian window 11x11 sigma 1.5, K1=0.01, K2=0.03 (ignite defaults).
+
+    pad='reflect' (default) mirrors ignite exactly: both images are
+    reflection-padded by (win-1)/2 before the gaussian filter, so the SSIM
+    map covers every pixel (ignite SSIM.update pads with mode='reflect'
+    before its VALID conv; reference usage /root/reference/metrics/
+    compute.py:297-317). pad='valid' averages the interior map only —
+    on smooth images the two agree to ~1e-3 (golden deltas recorded in
+    tests/test_metrics.py::test_ssim_golden_value)."""
     k = jnp.asarray(_gaussian_kernel())[:, :, None, None]
     c = pred.shape[-1]
     kernel = jnp.tile(k, (1, 1, 1, c))  # depthwise
+    if pad == "reflect":
+        half = 5  # (11 - 1) // 2
+        widths = ((0, 0), (half, half), (half, half), (0, 0))
+        pred = jnp.pad(pred, widths, mode="reflect")
+        target = jnp.pad(target, widths, mode="reflect")
 
     def filt(x):
         return jax.lax.conv_general_dilated(

@@ -164,6 +164,9 @@ class DiffusionConfig:
     ddim_sampling_eta: float = 0.0
     auto_normalize: bool = True
     self_condition: bool = False
+    scan_unroll: int = 1  # lax.scan unroll factor for the sampler chains;
+    # at 16^2-latent/dim-64 UNet scale each step is dispatch-overhead-bound
+    # on TPU, and unrolling lets XLA fuse/overlap across steps (BENCH.md)
 
 
 class GaussianDiffusion:
@@ -332,7 +335,8 @@ class GaussianDiffusion:
             return (img, x_start), (img if return_all_timesteps else None)
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        (img, _), traj = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts)
+        (img, _), traj = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts,
+                                      unroll=self.cfg.scan_unroll)
         if return_all_timesteps:
             all_imgs = jnp.concatenate([img0[None], traj], axis=0)
             return self.unnormalize(jnp.swapaxes(all_imgs, 0, 1))
@@ -370,7 +374,8 @@ class GaussianDiffusion:
             return (img, x_start, i + 1), (img if return_all_timesteps else None)
 
         (img, _, _), traj = jax.lax.scan(
-            body, (img0, jnp.zeros(shape), jnp.int32(0)), jnp.asarray(pairs)
+            body, (img0, jnp.zeros(shape), jnp.int32(0)), jnp.asarray(pairs),
+            unroll=self.cfg.scan_unroll,
         )
         if return_all_timesteps:
             all_imgs = jnp.concatenate([img0[None], traj], axis=0)
@@ -396,7 +401,8 @@ class GaussianDiffusion:
             return (img, x0), None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        (img, _), _ = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts)
+        (img, _), _ = jax.lax.scan(body, (img0, jnp.zeros(shape)), ts,
+                                   unroll=self.cfg.scan_unroll)
         return self.unnormalize(img)
 
     def sample(self, params, key, batch_size: int = 16,

@@ -151,9 +151,9 @@ def _scan_steps_forward(stacked: Params, x: jax.Array, ldj: jax.Array,
 
 
 def _scan_steps_inverse(stacked: Params, y: jax.Array, dtype=jnp.float32,
-                        unroll: int = 1) -> jax.Array:
+                        unroll: int = 1, use_pallas: bool = False) -> jax.Array:
     def body(h, sp):
-        return bj.step_inverse(sp, h, dtype), None
+        return bj.step_inverse(sp, h, dtype, use_pallas), None
 
     x, _ = jax.lax.scan(body, y, stacked, reverse=True, unroll=unroll)
     return x
@@ -227,7 +227,8 @@ def inverse(
     at `temperature`, consuming `key` (required in that case)."""
     dtype = cfg._coupling_jnp_dtype
     y = latents[-1]
-    y = _scan_steps_inverse(params["final_steps"], y, dtype, cfg.scan_unroll)
+    y = _scan_steps_inverse(params["final_steps"], y, dtype, cfg.scan_unroll,
+                            cfg.use_pallas)
     y = bj.squeeze_inverse(y)
 
     for i, block in enumerate(reversed(params["blocks"])):
@@ -239,7 +240,8 @@ def inverse(
                 raise ValueError("PRNG key required to sample missing latent parts")
             subkey = jax.random.fold_in(key, i)
         y = bj.split_inverse(block["split"], y, z, subkey, temperature)
-        y = _scan_steps_inverse(block["steps"], y, dtype, cfg.scan_unroll)
+        y = _scan_steps_inverse(block["steps"], y, dtype, cfg.scan_unroll,
+                                cfg.use_pallas)
         y = bj.squeeze_inverse(y)
     return y
 

@@ -504,10 +504,41 @@ def step_forward_pallas(params: Params, x: jax.Array, ldj: jax.Array,
     return jnp.concatenate([y_a, y_b], axis=-1), ldj + ldj_part.astype(ldj.dtype)
 
 
-def step_inverse(params: Params, y: jax.Array, dtype=jnp.float32) -> jax.Array:
+def step_inverse(params: Params, y: jax.Array, dtype=jnp.float32,
+                 use_pallas: bool = False) -> jax.Array:
+    if use_pallas:
+        return step_inverse_pallas(params, y, dtype)
     x = coupling_inverse(params["coupling"], y, dtype)
     x = fused_invconv_actnorm_inverse(params["actnorm"], params["invconv"], x)
     return x
+
+
+def step_inverse_pallas(params: Params, y: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Sampling-path mirror of step_forward_pallas (VERDICT r2 item 7):
+    the coupling tail inverse runs as one fused Pallas pass, and the
+    invconv+actnorm inverse reuses the channel_mix kernel with the inverted
+    folded weights — x = y @ (diag(e^-s) W^{-1})^T - b maps onto the
+    kernel's `matmul + bias` form with W_kernel = diag(e^-s) W^{-1} and
+    bias_kernel = -b. The coupling CNN stays on XLA."""
+    from .pallas.channel_mix import channel_mix
+    from .pallas.coupling_tail import coupling_tail_inverse
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    c = y.shape[-1]
+    y_a, y_b = y[..., : c // 2], y[..., c // 2:]
+    h = coupling_net_apply(params["coupling"]["net"], y_a, dtype)
+    log_scale, bias = h[..., : c // 2], h[..., c // 2:]
+    x_b = coupling_tail_inverse(log_scale, bias, y_b, interpret)
+    x = jnp.concatenate([y_a, x_b], axis=-1)
+
+    # x = y' @ w_fold^T + b_kernel with w_fold = diag(e^-s) W^{-1} [C, O]
+    # and b_kernel = -an_bias (kernel epilogue adds after the matmul, which
+    # is exactly the fused inverse's "- b" term).
+    an, ic = params["actnorm"], params["invconv"]
+    w_inv = invconv_inverse_weight(ic)               # [C, O]
+    w_fold = jnp.exp(-an["scale"])[:, None] * w_inv  # [C, O]
+    return channel_mix(x, w_fold, -an["bias"], interpret)
 
 
 def step_ddinit(params: Params, x: jax.Array) -> Tuple[Params, jax.Array]:

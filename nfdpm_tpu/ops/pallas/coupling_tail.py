@@ -98,6 +98,48 @@ def _forward(log_scale, bias, x_b, interpret):
     return y[:b, :d].reshape(x_b.shape), ldj[:b, 0]
 
 
+def _inv_kernel(ls_ref, b_ref, yb_ref, xb_ref):
+    # blocks: [ROW_TILE, D]; x_b = y_b / (scale + eps) - bias
+    scale = jax.nn.sigmoid(ls_ref[:] + 2.0)
+    xb_ref[:] = yb_ref[:] / (scale + EPS) - b_ref[:]
+
+
+def coupling_tail_inverse(log_scale, bias, y_b, interpret: bool = False):
+    """Inverse of the coupling tail (sampling path, no logdet):
+    x_b = y_b / (sigmoid(log_scale + 2) + eps) - bias, one fused HBM pass
+    (transforms.py:196-200 semantics). Not differentiated — sampling only."""
+    b = y_b.shape[0]
+    d = int(y_b.size // b)
+    shape2 = (b, d)
+    ls = log_scale.reshape(shape2)
+    bi = bias.reshape(shape2)
+    yb = y_b.reshape(shape2)
+
+    pad_rows = (-b) % ROW_TILE
+    pad_d = (-d) % 128
+    if pad_rows or pad_d:
+        widths = ((0, pad_rows), (0, pad_d))
+        ls = jnp.pad(ls, widths)
+        bi = jnp.pad(bi, widths)
+        yb = jnp.pad(yb, widths)
+    rows, dd = b + pad_rows, d + pad_d
+
+    x = pl.pallas_call(
+        _inv_kernel,
+        grid=(rows // ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, dd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, dd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, dd), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, dd), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, dd), jnp.float32),
+        interpret=interpret,
+    )(ls, bi, yb)
+    return x[:b, :d].reshape(y_b.shape)
+
+
 def _fwd(log_scale, bias, x_b, interpret):
     out = _forward(log_scale, bias, x_b, interpret)
     return out, (log_scale, bias, x_b)

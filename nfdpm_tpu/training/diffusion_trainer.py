@@ -146,13 +146,19 @@ def init_train_state(
 def calculate_bpd_with_diff_prior(
     backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig,
     params, loader: Loader, key, max_batches: Optional[int] = None,
-) -> float:
+    with_stats: bool = False,
+):
     """Variational-bound BPD of flow + diffusion prior.
 
     BPD = [log(n_bins)*n_pixel - (ldj - sum_part nll_nats)] * log2(e)/n_pixel
     where the diffusion NLL replaces the Gaussian prior logp. Correctly
     ACCUMULATES across batches (the reference version overwrote its
-    accumulator and was dead code, diffusion_prior/trainer.py:45,242-248)."""
+    accumulator and was dead code, diffusion_prior/trainer.py:45,242-248).
+
+    max_batches=None scores the FULL loader (the apples-to-apples setting
+    vs nf_trainer's full-test-set Gaussian BPD). with_stats=True returns
+    (mean, n_images, stderr_of_mean) so sub-sampled budgets report their
+    uncertainty."""
     from ..models import prior as prior_m
 
     n_bins = q.n_bins_of(tcfg.n_bits)
@@ -176,14 +182,21 @@ def calculate_bpd_with_diff_prior(
         ll = ldj - prior_nll
         return (np.log(n_bins) * n_pixel - ll) * bpd_const
 
-    total, count = 0.0, 0
+    total, total_sq, count = 0.0, 0.0, 0
     for i, (imgs, _labels, n_valid) in enumerate(loader.padded_batches()):
         if max_batches is not None and i >= max_batches:
             break
         bpds = batch_nll(params, jnp.asarray(imgs), key, np.int32(i))
-        total += float(jnp.sum(bpds[:n_valid]))
+        valid = np.asarray(bpds[:n_valid], dtype=np.float64)
+        total += float(valid.sum())
+        total_sq += float((valid * valid).sum())
         count += n_valid
-    return total / max(count, 1)
+    mean = total / max(count, 1)
+    if not with_stats:
+        return mean
+    var = max(total_sq / max(count, 1) - mean * mean, 0.0)
+    stderr = math.sqrt(var / max(count, 1))
+    return mean, count, stderr
 
 
 def train(

@@ -57,6 +57,11 @@ class NFTrainConfig:
     compat_fixed_prior: bool = True  # reference optimizes/clips flow params
     # only (trainer.py:109,165-166): the Gaussian prior stays standard normal.
     # Set False to also train the prior (capability extension).
+    grad_accum: int = 1  # microbatches per optimizer step (TPU memory knob):
+    # the batch is split into `grad_accum` slices scanned inside the SAME
+    # jitted step, gradients averaged, ONE optimizer update. Activation
+    # memory scales with the microbatch, so large-image configs (CelebA-128)
+    # can trade remat's recompute for microbatching (BENCH.md).
 
 
 def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
@@ -89,12 +94,45 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
         bpd = prior_m.bits_per_dim(ll, n_bins, n_pixel)
         return bpd, ll
 
+    accum = max(1, int(tcfg.grad_accum))
+    assert accum == 1 or not inject_noise, (
+        "grad_accum>1 uses per-microbatch in-jit RNG; injected-noise parity "
+        "runs must keep grad_accum=1"
+    )
+
+    def accum_grads(params, batch, step_key):
+        """Scan `accum` microbatches; per-microbatch dequant key =
+        fold_in(step_key, i). Returns averaged (bpd, ll_mean, grads)."""
+        b = batch.shape[0]
+        micro = batch.reshape(accum, b // accum, *batch.shape[1:])
+
+        def body(carry, inp):
+            g_acc, bpd_acc, ll_acc = carry
+            i, mb = inp
+            (bpd, ll), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, jax.random.fold_in(step_key, i)
+            )
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, bpd_acc + bpd, ll_acc + jnp.mean(ll)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (g_sum, bpd_sum, ll_sum), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros(()), jnp.zeros(())),
+            (jnp.arange(accum), micro),
+        )
+        grads = jax.tree.map(lambda g: g / accum, g_sum)
+        return bpd_sum / accum, ll_sum / accum, grads
+
     def train_step(state, batch, base_key):
         step_key = base_key if inject_noise else jax.random.fold_in(
             base_key, state["step"])
-        (bpd, ll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, step_key
-        )
+        if accum == 1:
+            (bpd, ll), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], batch, step_key
+            )
+            ll_mean = jnp.mean(ll)
+        else:
+            bpd, ll_mean, grads = accum_grads(state["params"], batch, step_key)
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
         new_state = {
@@ -102,7 +140,7 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
             "opt_state": opt_state,
             "step": state["step"] + 1,
         }
-        return new_state, {"bpd": bpd, "ll_mean": jnp.mean(ll)}
+        return new_state, {"bpd": bpd, "ll_mean": ll_mean}
 
     return jax.jit(train_step, donate_argnums=(0,))
 

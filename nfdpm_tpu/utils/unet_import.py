@@ -93,6 +93,13 @@ def import_unet_state_dict(sd: Mapping, n_levels: int) -> Dict[str, Any]:
     len(dim_mults)."""
     p: Dict[str, Any] = {}
     p["Conv_0"] = _conv(sd, "init_conv")
+    if "time_mlp.0.weights" in sd:
+        # learned/random-Fourier time embedding
+        # (RandomOrLearnedSinusoidalPosEmb, gaussian_diffusion.py:240-255);
+        # the plain SinusoidalPosEmb variant is parameter-free.
+        p["RandomOrLearnedSinusoidalPosEmb_0"] = {
+            "weights": _t(sd["time_mlp.0.weights"])
+        }
     p["Dense_0"] = _dense(sd, "time_mlp.1")
     p["Dense_1"] = _dense(sd, "time_mlp.3")
 

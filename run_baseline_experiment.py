@@ -73,6 +73,7 @@ def main(argv):
         log_param_distribution=bool(cfg.model.logging.get("log_param_distribution", False)),
         compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
         compat_fixed_prior=bool(cfg.select("compat.fixed_prior", True)),
+        grad_accum=int(cfg.select("model.training.grad_accum", 1)),
     )
 
     loaders = read_dataset(
@@ -105,6 +106,7 @@ def main(argv):
             ssim_psnr=dict(ssim_cfg) if ssim_cfg else None,
             quick_num_gen=int(cfg.select("model.evaluation.quick_num_gen", 15)),
             dataset_split=str(cfg.select("model.evaluation.dataset_split", "train")),
+            gen_batch_size=int(cfg.select("model.evaluation.gen_batch_size", 256)),
         )
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))

@@ -97,6 +97,7 @@ def main(argv):
         loss_type=cfg.model.diffusion.loss_type,
         beta_schedule=cfg.model.diffusion.beta_schedule,
         ddim_sampling_eta=float(cfg.model.diffusion.ddim_sampling_eta),
+        scan_unroll=int(cfg.select("model.diffusion.scan_unroll", 1)),
     )
     dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
                         diffusion_kwargs=diffusion_kwargs)
@@ -139,7 +140,26 @@ def main(argv):
             ssim_psnr=dict(ssim_cfg) if ssim_cfg else None,
             quick_num_gen=int(cfg.select("model.evaluation.quick_num_gen", 2000)),
             dataset_split=str(cfg.select("model.evaluation.dataset_split", "train")),
+            gen_batch_size=int(cfg.select("model.evaluation.gen_batch_size", 256)),
         )
+
+    # Final VLB budget: 'full' (default, apples-to-apples with nf_trainer's
+    # full-test-set Gaussian BPD; reference scores the full set too,
+    # diffusion_prior/trainer.py:250-260) or an int batch count for quick runs.
+    vlb_batches = cfg.select("model.evaluation.vlb_batches", "full")
+    vlb_batches = None if str(vlb_batches) == "full" else int(vlb_batches)
+
+    def _report_vlb(params):
+        bpd, n, stderr = dt.calculate_bpd_with_diff_prior(
+            backbone, dp, tcfg, params, loaders.test,
+            jax.random.PRNGKey(int(cfg.seed)), max_batches=vlb_batches,
+            with_stats=True,
+        )
+        logger.info(
+            f"VLB test bpd (diffusion prior): {bpd:.4f} "
+            f"(N={n}, stderr={stderr:.4f})"
+        )
+        return bpd
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
     resume_dir = cfg.load.load_exp_dir
@@ -154,11 +174,7 @@ def main(argv):
             resume_dir=resume_dir, resume_epoch=resume_epoch,
             evaluate_fn=evaluate_fn, mesh=mesh,
         )
-        bpd = dt.calculate_bpd_with_diff_prior(
-            backbone, dp, tcfg, out["state"]["params"], loaders.test,
-            jax.random.PRNGKey(int(cfg.seed)), max_batches=4,
-        )
-        logger.info(f"VLB test bpd (diffusion prior): {bpd:.4f}")
+        _report_vlb(out["state"]["params"])
     elif cfg.phase == "eval":
         if not resume_dir:
             raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
@@ -169,11 +185,7 @@ def main(argv):
         state = restore_state(resume_dir, "diffusion", resume_epoch, template)
         state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
         sample_fn = dt.make_sample_fn(backbone, dp, tcfg)
-        bpd = dt.calculate_bpd_with_diff_prior(
-            backbone, dp, tcfg, state["params"], loaders.test,
-            jax.random.PRNGKey(int(cfg.seed)), max_batches=8,
-        )
-        logger.info(f"VLB test bpd (diffusion prior): {bpd:.4f}")
+        _report_vlb(state["params"])
         if evaluate_fn is not None:
             evaluate_fn(sample_fn, state["params"], resume_epoch, full=True)
     else:

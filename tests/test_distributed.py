@@ -27,8 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_global_batch():
-    port = _free_port()
+def _run_workers(port):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
@@ -50,6 +49,23 @@ def test_two_process_global_batch():
                 q.kill()
             pytest.fail("distributed worker timed out")
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_global_batch():
+    # _free_port closes its probe socket before the coordinator binds, so
+    # another process can steal the port in between (TOCTOU) — retry the
+    # whole worker launch on a fresh port if the coordinator failed to bind
+    # (ADVICE r2: rare flake hardening).
+    for attempt in range(3):
+        procs, outs = _run_workers(_free_port())
+        bind_failed = any(
+            p.returncode != 0 and ("Failed to bind" in out
+                                   or "address already in use" in out.lower())
+            for p, out in zip(procs, outs)
+        )
+        if not bind_failed:
+            break
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"

@@ -130,6 +130,35 @@ class TestUsePallasPath:
             lambda a, b: float(jnp.max(jnp.abs(a - b))), g_p, g_x)
         assert max(jax.tree_util.tree_leaves(errs)) < 1e-4
 
+    def test_inverse_matches_xla_and_roundtrips(self):
+        """The sampling-path kernels (step_inverse_pallas: coupling-tail
+        inverse + channel-mix with inverted folded weights) must match the
+        XLA inverse AND invert the pallas forward exactly (VERDICT r2
+        item 7)."""
+        glow_m, cfg_p, params, x = self._setup(True)
+        cfg_x = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                                  coupling_width=32, use_pallas=False)
+        lat_p, _, _ = glow_m.forward(params, cfg_p, x)
+        inv_p = glow_m.inverse(params, cfg_p, lat_p)
+        inv_x = glow_m.inverse(params, cfg_x, lat_p)
+        np.testing.assert_allclose(np.asarray(inv_p), np.asarray(inv_x),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(inv_p), np.asarray(x), atol=2e-3)
+
+    def test_coupling_tail_inverse_formula(self):
+        from nfdpm_tpu.ops.pallas.coupling_tail import (
+            coupling_tail, coupling_tail_inverse)
+
+        k = jax.random.PRNGKey(3)
+        ls, bias, xb = (jax.random.normal(jax.random.fold_in(k, i), (3, 5, 5, 7))
+                        for i in range(3))
+        yb, _ = coupling_tail(ls, bias, xb, True)
+        back = coupling_tail_inverse(ls, bias, yb, True)
+        # the reference's +eps in the inverse denominator makes the
+        # roundtrip inexact by ~eps/scale (transforms.py:196-200 semantics)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xb),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_train_trajectory_matches_xla(self):
         from nfdpm_tpu.models import glow as glow_m
         from nfdpm_tpu.training import nf_trainer as nft

@@ -37,6 +37,53 @@ def test_train_step_descends(tmp_path):
     assert np.isfinite(losses).all()
 
 
+def test_grad_accum_matches_manual_microbatching():
+    """grad_accum=2 must equal the hand-computed average of per-microbatch
+    grads with the documented key convention (dequant key for microbatch i =
+    fold_in(fold_in(base_key, step), i)), followed by one optimizer update."""
+    import optax
+
+    tcfg2 = nft.NFTrainConfig(epochs=1, lr=1e-3, grad_accum=2)
+    tx = make_optimizer("adam", 1e-3)
+    base_key = jax.random.PRNGKey(7)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 8, 3))
+
+    state = nft.init_train_state(0, CFG, tcfg2, tx)
+    params0 = jax.tree.map(jnp.copy, state["params"])
+    opt0 = jax.tree.map(jnp.copy, state["opt_state"])
+    step2 = nft.make_train_step(CFG, tcfg2, tx)
+    s2, m2 = step2(state, batch, base_key)
+
+    # manual: two half-batches through the single-batch loss, averaged
+    from nfdpm_tpu.models import prior as prior_m
+    from nfdpm_tpu.ops import quantize as q
+
+    def loss_fn(params, mb, key):
+        x = q.dequantize(key, q.preprocess(mb, tcfg2.n_bits), tcfg2.n_bits)
+        latents, ldj, logp = glow_m.forward(params["flow"], CFG, x)
+        logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
+        n_pixel = prior_m.n_pixels(8, 3, tcfg2.compat_three_channel_bpd)
+        return prior_m.bits_per_dim(ldj + logp, q.n_bins_of(tcfg2.n_bits), n_pixel)
+
+    step_key = jax.random.fold_in(base_key, 0)  # state["step"] == 0
+    grads, bpds = [], []
+    for i, mb in enumerate((batch[:4], batch[4:])):
+        bpd, g = jax.value_and_grad(loss_fn)(
+            params0, mb, jax.random.fold_in(step_key, i))
+        grads.append(g)
+        bpds.append(float(bpd))
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, *grads)
+    updates, _ = tx.update(g_mean, opt0, params0)
+    params_manual = optax.apply_updates(params0, updates)
+
+    np.testing.assert_allclose(float(m2["bpd"]), np.mean(bpds), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s2["params"], params_manual,
+    )
+
+
 def test_full_train_loop_and_checkpoint(tmp_path):
     loaders = read_dataset("synthetic", root="", batch_size=16, img_size=8,
                            synthetic_fallback=True, synthetic_n=64)

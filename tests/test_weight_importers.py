@@ -147,6 +147,47 @@ class TestInceptionImporter:
         inception.import_state_dict(sd, strict=False)  # no raise
 
 
+class TestInceptionOracleCrossCheck:
+    """Executable-torch-semantics validation of the importer's layout mapping
+    (VERDICT r2 item 9 dry run): randomize the bundled pure-torch FID
+    Inception mirror, import its state_dict into the flax tree, and demand
+    numerically identical features. Once real weights exist,
+    tools/validate_fid_weights.py runs this exact comparison against them
+    with no cleanfid/pytorch_fid installed."""
+
+    def test_random_weight_feature_parity(self):
+        torch = pytest.importorskip("torch")
+
+        from nfdpm_tpu.metrics import inception, torch_inception
+
+        net = torch_inception.build_feature_model()
+        gen = torch.Generator().manual_seed(0)
+        sd = net.state_dict()
+        with torch.no_grad():
+            for k, v in sd.items():
+                if k.endswith("num_batches_tracked"):
+                    continue
+                if k.endswith("running_var"):
+                    v.uniform_(0.5, 1.5, generator=gen)
+                elif k.endswith((".bn.weight",)):
+                    v.uniform_(0.8, 1.2, generator=gen)
+                elif k.endswith(("running_mean", ".bn.bias")):
+                    v.normal_(0.0, 0.05, generator=gen)
+                else:  # conv kernels
+                    v.normal_(0.0, 0.05, generator=gen)
+        net.load_state_dict(sd)
+
+        params = inception.import_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, strict=True)
+        feature_fn = inception.make_feature_fn(params)
+
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (2, 299, 299, 3)).astype(np.uint8)
+        ours = np.asarray(feature_fn(imgs))
+        theirs = torch_inception.features_u8(net, imgs)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # OpenAI CLIP ViT-B/32 canonical keys (CLIP.visual VisionTransformer)
 # ---------------------------------------------------------------------------
@@ -230,3 +271,46 @@ class TestClipImporter:
               if not k.startswith("visual.transformer.resblocks.11.")}
         with pytest.raises(ValueError, match="resblocks"):
             clip_features.import_state_dict(sd, strict=True)
+
+
+class TestClipOracleCrossCheck:
+    """Executable-torch validation of the CLIP importer's qkv in_proj /
+    out_proj / projection transposes (VERDICT r2 item 9 dry run): randomize
+    the bundled pure-torch ViT visual tower, import its state_dict, demand
+    identical L2-normalized features. A 2-layer width-64 tower keeps the
+    1-core CPU run fast; the mapping code paths are identical at B/32 scale."""
+
+    def test_random_weight_feature_parity(self):
+        torch = pytest.importorskip("torch")
+        import jax
+
+        from nfdpm_tpu.metrics import clip_features, torch_clip
+
+        net = torch_clip.build_visual_model(
+            patch=16, width=64, layers=2, heads=4, out_dim=32, image_size=64)
+        torch.manual_seed(0)
+        sd = {"visual." + k: v for k, v in net.state_dict().items()}
+
+        model = clip_features.CLIPVisual(
+            patch=16, width=64, layers=2, heads=4, out_dim=32, image_size=64)
+        template = model.init(jax.random.PRNGKey(0),
+                              np.zeros((1, 64, 64, 3), np.float32))["params"]
+        params = clip_features.import_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, strict=True,
+            model=model, template=template)
+
+        imgs = np.random.default_rng(1).integers(
+            0, 256, (2, 64, 64, 3)).astype(np.uint8)
+
+        @jax.jit
+        def feature_fn(imgs_u8):
+            import jax.numpy as jnp
+
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = (x - clip_features.CLIP_MEAN) / clip_features.CLIP_STD
+            f = model.apply({"params": params}, x)
+            return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+        ours = np.asarray(feature_fn(imgs))
+        theirs = torch_clip.features_u8(net, imgs)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)

@@ -78,7 +78,8 @@ def validate_inception(path) -> bool:
     imgs = rng.integers(0, 256, (8, 299, 299, 3)).astype(np.uint8)
     ours_feats = np.asarray(ours(imgs))
 
-    # torch side: prefer cleanfid's own builder; else pytorch-fid's
+    # torch side: prefer cleanfid's own builder; else pytorch-fid's; else the
+    # bundled pure-torch mirror (NO extra installs needed — VERDICT r2 item 9)
     try:
         from cleanfid.inception_pytorch import InceptionV3W  # type: ignore
 
@@ -97,9 +98,13 @@ def validate_inception(path) -> bool:
                 x = torch.from_numpy(imgs.transpose(0, 3, 1, 2)).float() / 255.0
                 theirs = net(x)[0].squeeze(-1).squeeze(-1).numpy()
         except ImportError:
-            print("  cleanfid/pytorch_fid not installed -> feature "
-                  "cross-check SKIPPED (import-only validation)")
-            return True
+            from nfdpm_tpu.metrics import torch_inception
+
+            print("  cleanfid/pytorch_fid not installed -> using bundled "
+                  "pure-torch FID-Inception mirror (torch-only mode)")
+            net = torch_inception.load_weights(
+                torch_inception.build_feature_model(), path)
+            theirs = torch_inception.features_u8(net, imgs)
 
     err = np.abs(ours_feats - theirs).max()
     print(f"  feature parity max |err| = {err:.2e} (atol {ATOL})")
@@ -132,9 +137,12 @@ def validate_clip(path) -> bool:
             f = model.encode_image((x - mean) / std).float()
             theirs = (f / f.norm(dim=-1, keepdim=True)).numpy()
     except ImportError:
-        print("  clip package not installed -> feature cross-check SKIPPED "
-              "(import-only validation)")
-        return True
+        from nfdpm_tpu.metrics import torch_clip
+
+        print("  clip package not installed -> using bundled pure-torch "
+              "ViT-B/32 visual mirror (torch-only mode)")
+        net = torch_clip.load_weights(torch_clip.build_visual_model(), path)
+        theirs = torch_clip.features_u8(net, imgs)
 
     err = np.abs(ours_feats - theirs).max()
     print(f"  feature parity max |err| = {err:.2e} (atol {ATOL})")
