@@ -68,7 +68,30 @@ def bench_config(use_pallas: bool):
         float(fwd_chain(state["params"], x0))
     fwd_ms = (time.perf_counter() - t0) / (REPS * CHAIN) * 1000
 
+    # inverse (sampling-path) chain — VERDICT r2 item 7: does the Pallas
+    # inverse route (step_inverse_pallas) beat XLA where it matters?
+    lat0, _, _ = jax.jit(lambda p, x: glow_m.forward(p["flow"], cfg, x))(
+        state["params"], x0)
+    lat0 = tuple(lat0)
+
+    @jax.jit
+    def inv_chain(params, lats):
+        def body(carry, _):
+            x = glow_m.inverse(params["flow"], cfg, list(carry))
+            bump = 1e-7 * jnp.mean(x)
+            return tuple(z * (1.0 + bump) for z in carry), jnp.mean(x)
+
+        out, means = jax.lax.scan(body, lats, None, length=CHAIN)
+        return sum(jnp.sum(z) for z in out) + jnp.sum(means)
+
+    float(inv_chain(state["params"], lat0))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        float(inv_chain(state["params"], lat0))
+    inv_ms = (time.perf_counter() - t0) / (REPS * CHAIN) * 1000
+
     return {"train_step_ms": round(train_ms, 3), "fwd_ms": round(fwd_ms, 3),
+            "inv_ms": round(inv_ms, 3),
             "train_img_per_s": round(BATCH / train_ms * 1000, 1)}
 
 
@@ -82,6 +105,8 @@ def main():
         results["xla"]["train_step_ms"] / results["pallas"]["train_step_ms"], 4)
     results["speedup_fwd"] = round(
         results["xla"]["fwd_ms"] / results["pallas"]["fwd_ms"], 4)
+    results["speedup_inv"] = round(
+        results["xla"]["inv_ms"] / results["pallas"]["inv_ms"], 4)
     print(json.dumps(results))
 
 
