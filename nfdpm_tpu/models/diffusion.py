@@ -173,11 +173,25 @@ class GaussianDiffusion:
     """Pure-functional diffusion process around a `model_apply(params, x, t,
     self_cond) -> out` callable (typically `Unet.apply` bound to variables).
 
-    All methods are jit-safe pure functions of (params, arrays, keys)."""
+    All methods are jit-safe pure functions of (params, arrays, keys).
 
-    def __init__(self, model_apply: Callable, cfg: DiffusionConfig):
+    Contract note: sampler chains call `model_apply` with a LENGTH-1 time
+    vector (t is uniform across the batch mid-chain), relying on numpy
+    broadcasting over the batch dim — true of the UNet here and of any
+    elementwise/gather-based model. Training losses pass per-sample [B] t.
+
+    `batch_sharding` (optional `jax.sharding.Sharding`): when set, every
+    sampler chain constrains its initial noise to it via
+    `with_sharding_constraint`, so under a device mesh the whole denoise
+    scan runs batch-sharded (data-parallel FID-scale generation over ICI —
+    greenfield vs the reference's single-GPU tqdm loops,
+    gaussian_diffusion.py:695-777)."""
+
+    def __init__(self, model_apply: Callable, cfg: DiffusionConfig,
+                 batch_sharding=None):
         self.model_apply = model_apply
         self.cfg = cfg
+        self.batch_sharding = batch_sharding
         self.sched = make_schedule(
             cfg.beta_schedule, cfg.timesteps, cfg.p2_loss_weight_gamma, cfg.p2_loss_weight_k
         )
@@ -185,6 +199,12 @@ class GaussianDiffusion:
         self.sampling_timesteps = cfg.sampling_timesteps or cfg.timesteps
         assert self.sampling_timesteps <= cfg.timesteps
         self.is_ddim_sampling = self.sampling_timesteps < cfg.timesteps
+
+    def _constrain(self, x):
+        """Batch-shard a sampler-chain tensor if a sharding was given."""
+        if self.batch_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.batch_sharding)
 
     # -- normalization (gaussian_diffusion.py:150-155, 637) ---------------
     def normalize(self, x):
@@ -321,12 +341,16 @@ class GaussianDiffusion:
         """`return_all_timesteps=True` stacks the trajectory [B, T+1, ...]
         (x_T first), matching gaussian_diffusion.py:720-731."""
         k_init, k_loop = jax.random.split(key)
-        img0 = jax.random.normal(k_init, shape)
+        img0 = self._constrain(jax.random.normal(k_init, shape))
 
         def body(carry, t):
             img, x_sc = carry
             sc = x_sc if self.cfg.self_condition else None
-            tb = jnp.full((shape[0],), t, jnp.int32)
+            # t is uniform across the batch inside a sampler chain: a
+            # length-1 time vector broadcasts bit-identically through the
+            # time-MLP/FiLM/_extract gathers and skips B-1 redundant
+            # embedding computations per step.
+            tb = jnp.full((1,), t, jnp.int32)
             mean, _, logvar, x_start = self.p_mean_variance(
                 params, img, tb, sc, clip_denoised=True
             )
@@ -350,14 +374,14 @@ class GaussianDiffusion:
         pairs = np.asarray(list(zip(times[:-1], times[1:])), np.int32)  # [(T-1,...), ..., (0,-1)]
 
         k_init, k_loop = jax.random.split(key)
-        img0 = jax.random.normal(k_init, shape)
+        img0 = self._constrain(jax.random.normal(k_init, shape))
         ac = jnp.asarray(self.sched.alphas_cumprod)
 
         def body(carry, pair):
             img, x_sc, i = carry
             t, t_next = pair[0], pair[1]
             sc = x_sc if self.cfg.self_condition else None
-            tb = jnp.full((shape[0],), t, jnp.int32)
+            tb = jnp.full((1,), t, jnp.int32)  # batch-uniform t (see above)
             pred_noise, x_start = self.model_predictions(
                 params, img, tb, sc, clip_x_start=True
             )
@@ -389,12 +413,13 @@ class GaussianDiffusion:
         shape = x_start.shape
         k_q, k_loop = jax.random.split(key)
         tb = jnp.full((shape[0],), self.num_timesteps - 1, jnp.int32)
-        img0 = self.q_sample(x_start, tb, jax.random.normal(k_q, shape))
+        img0 = self._constrain(
+            self.q_sample(x_start, tb, jax.random.normal(k_q, shape)))
 
         def body(carry, t):
             img, x_sc = carry
             sc = x_sc if self.cfg.self_condition else None
-            ttb = jnp.full((shape[0],), t, jnp.int32)
+            ttb = jnp.full((1,), t, jnp.int32)  # batch-uniform t (see above)
             mean, _, logvar, x0 = self.p_mean_variance(params, img, ttb, sc, True)
             noise = jax.random.normal(jax.random.fold_in(k_loop, t), shape)
             img = mean + jnp.where(t > 0, jnp.exp(0.5 * logvar), 0.0) * noise
@@ -417,7 +442,7 @@ class GaussianDiffusion:
         t = self.num_timesteps - 1 if t is None else t
         shape = x1.shape
         k_q1, k_q2, k_loop = jax.random.split(key, 3)
-        tb = jnp.full((shape[0],), t, jnp.int32)
+        tb = jnp.full((1,), t, jnp.int32)  # batch-uniform t (class docstring)
         xt1 = self.q_sample(x1, tb, jax.random.normal(k_q1, shape))
         xt2 = self.q_sample(x2, tb, jax.random.normal(k_q2, shape))
         img0 = (1 - lam) * xt1 + lam * xt2
@@ -425,7 +450,7 @@ class GaussianDiffusion:
         def body(carry, i):
             img, x_sc = carry
             sc = x_sc if self.cfg.self_condition else None
-            ib = jnp.full((shape[0],), i, jnp.int32)
+            ib = jnp.full((1,), i, jnp.int32)
             mean, _, logvar, x_start = self.p_mean_variance(params, img, ib, sc, True)
             noise = jax.random.normal(jax.random.fold_in(k_loop, i), shape)
             img = mean + jnp.where(i > 0, jnp.exp(0.5 * logvar), 0.0) * noise
@@ -464,7 +489,9 @@ class GaussianDiffusion:
 
         def body(carry, t):
             acc = carry
-            tb = jnp.full((b,), t, jnp.int32)
+            # batch-uniform t (class docstring); the t==0 select in
+            # _vb_terms_bpd broadcasts [1] against the [b] kl/nll terms
+            tb = jnp.full((1,), t, jnp.int32)
             noise = jax.random.normal(jax.random.fold_in(key, t), x_start.shape)
             x_t = self.q_sample(x_start, tb, noise)
             vb = self._vb_terms_bpd(params, x_start, x_t, tb, x_self_cond, clip_denoised)

@@ -42,6 +42,8 @@ class DiffusionPrior:
     formater: BaseFormater
     unet_kwargs: Dict[str, Any]
     diffusion_kwargs: Dict[str, Any]
+    batch_sharding: Any = None  # forwarded to every part's GaussianDiffusion
+    # so sampler chains run batch-sharded under a mesh (diffusion.py)
 
     def __post_init__(self):
         self.parts: List[GaussianDiffusion] = []
@@ -58,7 +60,9 @@ class DiffusionPrior:
             def apply_fn(params, x, t, sc, _unet=unet):
                 return _unet.apply({"params": params}, x, t, sc)
 
-            self.parts.append(GaussianDiffusion(apply_fn, dcfg))
+            self.parts.append(
+                GaussianDiffusion(apply_fn, dcfg,
+                                  batch_sharding=self.batch_sharding))
             self._unets.append(unet)
 
     @property

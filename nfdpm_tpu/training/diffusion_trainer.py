@@ -120,15 +120,28 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_sample_fn(backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig):
-    """diffusion latents -> flow inverse -> uint8 (trainer.py:181-182)."""
+def make_sample_fn(backbone: NFBackbone, dp: DiffusionPrior,
+                   tcfg: DiffusionTrainConfig, mesh=None):
+    """diffusion latents -> flow inverse -> uint8 (trainer.py:181-182).
+
+    With `mesh`, the diffusion-to-flow handoff is batch-sharded so the flow
+    inverse runs data-parallel; for the denoise chains themselves to shard,
+    construct the DiffusionPrior with `batch_sharding` (the entry point
+    does both from the same mesh)."""
     import functools
+
+    batch_s = mesh_m.data_sharding(mesh) if mesh is not None else None
+    # constraint, not out_shardings: tolerates n not divisible by the data
+    # axis (cf. nf_trainer.make_sample_fn)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def sample(params, key, n: int, temperature: float, salt=0):
         key = jax.random.fold_in(key, salt)
         k_diff, k_flow = jax.random.split(key)
         latents = dp.sample_latents(params["diffusion"], k_diff, n)
+        if batch_s is not None:
+            latents = [jax.lax.with_sharding_constraint(z, batch_s)
+                       for z in latents]
         x = backbone.invert(params["flow"], latents, k_flow, temperature)
         return q.postprocess(x, tcfg.n_bits)
 
@@ -229,7 +242,7 @@ def train(
             logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
 
         train_step = make_train_step(backbone, dp, tcfg, tx)
-        sample_fn = make_sample_fn(backbone, dp, tcfg)
+        sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=mesh)
 
         from ..data.pipeline import prefetch_to_device
         from ..utils.profiling import StepTimer

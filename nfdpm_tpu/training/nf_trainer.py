@@ -173,10 +173,19 @@ def make_eval_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig):
     return eval_step
 
 
-def make_sample_fn(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, img_size: int):
+def make_sample_fn(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, img_size: int,
+                   mesh=None):
     """Jitted sampler: prior sample -> Glow inverse (missing parts drawn from
-    split priors) -> 5-bit postprocess to uint8 (glow.py:230-246 semantics)."""
+    split priors) -> 5-bit postprocess to uint8 (glow.py:230-246 semantics).
+
+    With `mesh`, the prior draw is batch-sharded (P("data")) so the whole
+    inverse chain runs data-parallel over the mesh — multi-chip FID-scale
+    generation; the reference samples on one GPU only."""
     shapes = glow_m.latent_shapes_nhwc(cfg, img_size)
+    batch_s = mesh_m.data_sharding(mesh) if mesh is not None else None
+    # NOTE: constraint, not out_shardings — with_sharding_constraint handles
+    # sample counts that don't divide the data axis (last shard padded),
+    # while out_shardings would reject them (small eval grids, n=15 etc.)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def sample(params, key, n: int, temperature: float, salt=0):
@@ -185,6 +194,8 @@ def make_sample_fn(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, img_size: int):
         z_last = prior_m.gaussian_prior_sample(
             params["prior"], k1, (n, h, w, c), temperature
         )
+        if batch_s is not None:
+            z_last = jax.lax.with_sharding_constraint(z_last, batch_s)
         x = glow_m.inverse(params["flow"], cfg, [z_last], key=k2, temperature=temperature)
         return q.postprocess(x, tcfg.n_bits)
 
@@ -300,7 +311,7 @@ def train(
 
         train_step = make_train_step(cfg, tcfg, tx)
         eval_step = make_eval_step(cfg, tcfg)
-        sample_fn = make_sample_fn(cfg, tcfg, img_size)
+        sample_fn = make_sample_fn(cfg, tcfg, img_size, mesh=mesh)
 
         from ..data.pipeline import prefetch_to_device
         from ..utils.profiling import StepTimer

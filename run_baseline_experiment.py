@@ -133,7 +133,8 @@ def main(argv):
         # saved with (possibly a different mesh); re-place uniformly
         state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
         eval_step = nft.make_eval_step(gcfg, tcfg)
-        sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size))
+        sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size),
+                                       mesh=mesh)
         for fold, (split, loader) in enumerate(
             (("test", loaders.test), ("train", loaders.eval))
         ):

@@ -99,8 +99,12 @@ def main(argv):
         ddim_sampling_eta=float(cfg.model.diffusion.ddim_sampling_eta),
         scan_unroll=int(cfg.select("model.diffusion.scan_unroll", 1)),
     )
+    # mesh first: the prior's sampler chains batch-shard over it (diffusion
+    # FID-scale generation runs data-parallel; single device => no-op)
+    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
     dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
-                        diffusion_kwargs=diffusion_kwargs)
+                        diffusion_kwargs=diffusion_kwargs,
+                        batch_sharding=mesh_m.data_sharding(mesh))
 
     tr = cfg.model.training
     tcfg = dt.DiffusionTrainConfig(
@@ -161,7 +165,6 @@ def main(argv):
         )
         return bpd
 
-    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
     resume_dir = cfg.load.load_exp_dir
     resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
     if resume_dir:
@@ -184,7 +187,7 @@ def main(argv):
 
         state = restore_state(resume_dir, "diffusion", resume_epoch, template)
         state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
-        sample_fn = dt.make_sample_fn(backbone, dp, tcfg)
+        sample_fn = dt.make_sample_fn(backbone, dp, tcfg, mesh=mesh)
         _report_vlb(state["params"])
         if evaluate_fn is not None:
             evaluate_fn(sample_fn, state["params"], resume_epoch, full=True)

@@ -169,3 +169,54 @@ def test_unet_tp_matches_single_device():
         sx = mesh_m.shard_batch(mesh, x)
         l2 = float(loss_fn(sp, sx))
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_sharded_glow_sampling_matches_unsharded():
+    """make_sample_fn(mesh=...) batch-shards the generation chain over the
+    data axis; outputs must equal the unsharded sampler bit-for-bit in math
+    (same keys) and actually land sharded across all 8 devices."""
+    key = jax.random.PRNGKey(7)
+    tx = make_optimizer("adam", 1e-3)
+    state = nft.init_train_state(0, CFG, TCFG, tx)
+
+    plain = nft.make_sample_fn(CFG, TCFG, img_size=8)
+    out1 = np.asarray(plain(state["params"], key, 16, 0.7))
+
+    mesh = mesh_m.make_mesh(n_data=8, n_model=1)
+    sharded = nft.make_sample_fn(CFG, TCFG, img_size=8, mesh=mesh)
+    with mesh:
+        params = mesh_m.replicate(mesh, state["params"])
+        out2 = sharded(params, key, 16, 0.7)
+    assert len(out2.sharding.device_set) == 8
+    np.testing.assert_array_equal(out1, np.asarray(out2))
+
+
+def test_sharded_diffusion_sampling_matches_unsharded():
+    """DiffusionPrior(batch_sharding=...) runs every part's denoise scan
+    batch-sharded; latents must match the unsharded chain."""
+    from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
+    from nfdpm_tpu.models.formaters import IdentityFormater
+
+    formater = IdentityFormater(L=2, in_channels=3, size=8)
+    unet_kwargs = dict(dim=8, dim_mults=(1,), resnet_block_groups=4)
+    diffusion_kwargs = dict(timesteps=4, sampling_timesteps=4,
+                            beta_schedule="cosine", loss_type="l2")
+
+    dp1 = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
+                         diffusion_kwargs=diffusion_kwargs)
+    params = dp1.init_params(0)
+    key = jax.random.PRNGKey(3)
+    lat1 = jax.jit(lambda p, k: dp1.sample_latents(p, k, 16))({"parts": params["parts"]}, key)
+
+    mesh = mesh_m.make_mesh(n_data=8, n_model=1)
+    dp2 = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
+                         diffusion_kwargs=diffusion_kwargs,
+                         batch_sharding=mesh_m.data_sharding(mesh))
+    with mesh:
+        sp = mesh_m.replicate(mesh, params)
+        lat2 = jax.jit(lambda p, k: dp2.sample_latents(p, k, 16))(sp, key)
+    for a, b in zip(lat1, lat2):
+        # sharded execution reorders conv/GroupNorm reductions; across the
+        # 4-step chain that costs a few 1e-5 on isolated elements
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-5)

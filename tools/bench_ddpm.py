@@ -18,8 +18,12 @@ Flags (VERDICT r2 item 2 — FID-scale sampler throughput):
                         the full-T ancestral chain (reference
                         sampling_timesteps knob, gaussian_diffusion.py:735-777)
     --sweep             run the batch x unroll sweep table used for BENCH.md
-Each run also reports `sec_to_50k_samples`, the extrapolated wall-clock to
-generate the 50k images a CIFAR-scale FID pass needs.
+    --mfu               UNet-forward MFU profile: XLA cost-analysis FLOPs,
+                        achieved TFLOPS vs the v5e bf16 peak, and ablation
+                        timings (attention off, time-FiLM off, bf16 convs,
+                        dim-128 model) showing where the time goes
+Each sampler run also reports `sec_to_50k_samples`, the extrapolated
+wall-clock to generate the 50k images a CIFAR-scale FID pass needs.
 """
 
 import argparse
@@ -76,6 +80,108 @@ def bench_once(batch, T, unroll, ddim_steps=None, reps=3):
     }
 
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip systolic peak, the MFU denominator
+
+
+def _mfu_time_fwd(unet, batch, chain=50, reps=3):
+    """Time one UNet forward via a data-dependent jitted chain; return
+    (ms_per_fwd, gflop_per_fwd from XLA cost analysis of a single apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    h = w = 16
+    c = 6
+    x0 = jnp.zeros((batch, h, w, c))
+    t_arr = jnp.zeros((batch,), jnp.int32)
+    params = jax.device_put(
+        unet.init(jax.random.PRNGKey(0), x0, t_arr, None)["params"])
+
+    def one(p, x):
+        return unet.apply({"params": p}, x, t_arr, None)
+
+    cost = jax.jit(one).lower(params, x0).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    gflop = float(cost.get("flops", 0.0)) / 1e9 if cost else 0.0
+
+    @jax.jit
+    def fwd_chain(p, x):
+        def body(carry, _):
+            out = one(p, carry)
+            return carry + 1e-6 * out, jnp.mean(out)
+
+        _, means = jax.lax.scan(body, x, None, length=chain)
+        return jnp.sum(means)
+
+    float(fwd_chain(params, x0))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(fwd_chain(params, x0))
+    ms = (time.perf_counter() - t0) / (reps * chain) * 1000
+    return ms, gflop
+
+
+def mfu_profile(reps=3):
+    """Ablation-based answer to 'where do the UNet's cycles go'. Ablations
+    monkeypatch the module classes (profiling harness only — product code
+    unchanged): attention blocks become identity; time-FiLM is dropped by
+    passing time_emb=None into the blocks."""
+    import contextlib
+
+    import jax.numpy as jnp
+
+    from nfdpm_tpu.models import unet as unet_mod
+
+    @contextlib.contextmanager
+    def patched(cls, fn):
+        orig = cls.__call__
+        cls.__call__ = fn
+        try:
+            yield
+        finally:
+            cls.__call__ = orig
+
+    def identity_call(self, x):
+        return x
+
+    orig_res = unet_mod.ResnetBlock.__call__
+
+    def no_film_call(self, x, time_emb=None):
+        return orig_res(self, x, None)
+
+    def build(dim=64, dtype=jnp.float32):
+        return unet_mod.Unet(dim=dim, dim_mults=(1, 2), channels=6,
+                             resnet_block_groups=8, dtype=dtype)
+
+    rows = []
+
+    def run(name, batch, ctxs=(), **kw):
+        with contextlib.ExitStack() as stack:
+            for c in ctxs:
+                stack.enter_context(c)
+            ms, gflop = _mfu_time_fwd(build(**kw), batch, reps=reps)
+        # gflop is for the whole batched apply, so GFLOP/ms == TFLOPS
+        row = {"variant": name, "batch": batch, "ms_per_fwd": round(ms, 3),
+               "gflop_per_fwd": round(gflop, 2),
+               "achieved_tflops": round(gflop / ms, 1),
+               "pct_v5e_bf16_peak": round(gflop / ms / V5E_BF16_PEAK_TFLOPS
+                                          * 100, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    for batch in (64, 256):
+        run("base_fp32", batch)
+        run("bf16_convs", batch, dtype=jnp.bfloat16)
+        run("no_attention", batch,
+            ctxs=[patched(unet_mod.LinearAttention, identity_call),
+                  patched(unet_mod.Attention, identity_call)])
+        run("no_time_film", batch,
+            ctxs=[patched(unet_mod.ResnetBlock, no_film_call)])
+    run("dim128_fp32", 64, dim=128)
+    run("dim128_fp32", 256, dim=128)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -84,7 +190,12 @@ def main():
     ap.add_argument("--ddim", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--mfu", action="store_true")
     args = ap.parse_args()
+
+    if args.mfu:
+        mfu_profile(reps=args.reps)
+        return
 
     if args.sweep:
         for batch in (64, 256, 512, 1024):
