@@ -155,7 +155,14 @@ def _to_heads(t, heads):
 
 class LinearAttention(nn.Module):
     """Softmax-kernel linear attention (gaussian_diffusion.py:305-333):
-    q softmax over channel dim, k softmax over sequence dim; O(N d^2)."""
+    q softmax over channel dim, k softmax over sequence dim; O(N d^2).
+
+    MXU mapping: instead of per-head [N,dh]x[N,dh]->[dh,dh] einsums (32x32
+    outputs use ~6% of a 128x128 MXU tile and measured as ~46% of UNet wall
+    time at batch 256), both contractions run at the full hidden width with
+    a block-diagonal head mask on the [hidden,hidden] context. Cross-head
+    blocks are exactly zero in the masked product, so the math is identical
+    to per-head attention while every matmul is 128-lane aligned."""
 
     heads: int = 4
     dim_head: int = 32
@@ -163,22 +170,24 @@ class LinearAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        n = h * w
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = _to_heads(q, self.heads)  # [B, heads, N, dh]
-        k = _to_heads(k, self.heads)
-        v = _to_heads(v, self.heads)
+        q, k, v = jnp.split(qkv.reshape(b, n, hidden * 3), 3, axis=-1)
 
-        q = jax.nn.softmax(q, axis=-1)   # over dh (ref: dim=-2 on [b h c n])
-        k = jax.nn.softmax(k, axis=-2)   # over N  (ref: dim=-1)
-        q = q * (self.dim_head ** -0.5)
-        v = v / (h * w)
+        # per-head softmaxes on the flat [B, N, hidden] layout
+        q = jax.nn.softmax(q.reshape(b, n, self.heads, self.dim_head), axis=-1)
+        q = q.reshape(b, n, hidden) * (self.dim_head ** -0.5)
+        k = jax.nn.softmax(k, axis=1)  # over N, independent per column
+        v = v / n
 
-        # context[d, e] = sum_n k[n, d] v[n, e]
-        context = jnp.einsum("bhnd,bhne->bhde", k, v)
-        out = jnp.einsum("bhde,bhnd->bhne", context, q)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
+        # context[d, e] = sum_n k[n, d] v[n, e], masked to head-diagonal
+        # blocks (head_mask[d, e] = 1 iff d, e belong to the same head)
+        head = jnp.arange(hidden) // self.dim_head
+        head_mask = (head[:, None] == head[None, :]).astype(x.dtype)
+        context = jnp.einsum("bnd,bne->bde", k, v) * head_mask
+        out = jnp.einsum("bde,bnd->bne", context, q)
+        out = out.reshape(b, h, w, hidden)
         out = nn.Conv(c, (1, 1))(out)
         return ChannelLayerNorm()(out)
 
