@@ -175,6 +175,10 @@ def mfu_profile(reps=3):
         run("no_attention", batch,
             ctxs=[patched(unet_mod.LinearAttention, identity_call),
                   patched(unet_mod.Attention, identity_call)])
+        run("no_linear_attn", batch,
+            ctxs=[patched(unet_mod.LinearAttention, identity_call)])
+        run("no_mid_attn", batch,
+            ctxs=[patched(unet_mod.Attention, identity_call)])
         run("no_time_film", batch,
             ctxs=[patched(unet_mod.ResnetBlock, no_film_call)])
     run("dim128_fp32", 64, dim=128)
