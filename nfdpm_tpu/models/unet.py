@@ -153,9 +153,38 @@ def _to_heads(t, heads):
     return t.transpose(0, 2, 1, 3)
 
 
+class _ConvParams(nn.Module):
+    """Param holder with nn.Conv's exact names/shapes/inits, used when a
+    fused kernel consumes the raw weights instead of calling the conv."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, in_features, self.features))
+        if not self.use_bias:
+            return kernel
+        return kernel, self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+
+
+class _GainParam(nn.Module):
+    """ChannelLayerNorm's gain, for the fused path."""
+
+    @nn.compact
+    def __call__(self, dim):
+        return self.param("g", nn.initializers.ones, (dim,))
+
+
 class LinearAttention(nn.Module):
     """Softmax-kernel linear attention (gaussian_diffusion.py:305-333):
     q softmax over channel dim, k softmax over sequence dim; O(N d^2).
+
+    `fused=True` routes through the Pallas VMEM-resident block kernel
+    (ops/pallas/fused_linear_attention.py) — same params, same math; the
+    module path below is the XLA reference.
 
     MXU mapping: instead of per-head [N,dh]x[N,dh]->[dh,dh] einsums (32x32
     outputs use ~6% of a 128x128 MXU tile and measured as ~46% of UNet wall
@@ -166,12 +195,25 @@ class LinearAttention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         n = h * w
         hidden = self.heads * self.dim_head
+        if self.fused:
+            from ..ops.pallas.fused_linear_attention import (
+                fused_linear_attention,
+            )
+
+            w_qkv = _ConvParams(hidden * 3, use_bias=False, name="Conv_0")(c)
+            w_out, b_out = _ConvParams(c, name="Conv_1")(hidden)
+            g = _GainParam(name="ChannelLayerNorm_0")(c)
+            interp = jax.default_backend() not in ("tpu", "axon")
+            # positional: jax.custom_vjp functions reject keyword args
+            return fused_linear_attention(x, w_qkv, w_out, b_out, g,
+                                          self.heads, self.dim_head, interp)
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
         q, k, v = jnp.split(qkv.reshape(b, n, hidden * 3), 3, axis=-1)
 
@@ -267,6 +309,9 @@ class Unet(nn.Module):
     learned_sinusoidal_cond: bool = False
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
+    fused_attention: bool = False  # Pallas VMEM-resident linear-attention
+    # blocks (ops/pallas/fused_linear_attention.py); same params/math as
+    # the XLA path — A/B on the target chip (BENCH.md round 3)
     remat: bool = False  # rematerialize ResnetBlocks in the backward pass
     # (activation memory ~ O(depth) -> O(1) per block; for CelebA-128-scale
     # UNets, cf. jax.checkpoint on the flow scan)
@@ -317,7 +362,7 @@ class Unet(nn.Module):
             x = Res(dim_in, groups, dt, name=f"down_{ind}_res1")(x, t)
             hs.append(x)
             x = Res(dim_in, groups, dt, name=f"down_{ind}_res2")(x, t)
-            x = PreNormResidual(LinearAttention())(x)
+            x = PreNormResidual(LinearAttention(fused=self.fused_attention))(x)
             hs.append(x)
             x = (nn.Conv(dim_out, (3, 3), padding=1,
                          dtype=dt)(x).astype(jnp.float32) if is_last
@@ -334,7 +379,7 @@ class Unet(nn.Module):
             x = Res(dim_out, groups, dt, name=f"up_{ind}_res1")(x, t)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
             x = Res(dim_out, groups, dt, name=f"up_{ind}_res2")(x, t)
-            x = PreNormResidual(LinearAttention())(x)
+            x = PreNormResidual(LinearAttention(fused=self.fused_attention))(x)
             x = (nn.Conv(dim_in, (3, 3), padding=1,
                          dtype=dt)(x).astype(jnp.float32) if is_last
                  else Upsample(dim_in, dt)(x))

@@ -211,3 +211,59 @@ class TestStepMegakernel:
         np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(ldj_k), np.asarray(ldj_ref),
                                    rtol=1e-5, atol=1e-3)
+
+
+class TestFusedLinearAttention:
+    """Fused linear-attention block kernel
+    (ops/pallas/fused_linear_attention.py): exact vs the module's XLA
+    masked-block path on identical params, forward and grads. On-hardware
+    verdict: LOSES to XLA at both 64/256 batch (BENCH.md round 3) — kept
+    as a tested A/B capability on `Unet.fused_attention`, default off."""
+
+    def _pair(self, shape):
+        from nfdpm_tpu.models.unet import LinearAttention
+
+        x = jax.random.normal(jax.random.PRNGKey(0), shape)
+        la = LinearAttention(heads=4, dim_head=32)
+        laf = LinearAttention(heads=4, dim_head=32, fused=True)
+        params = la.init(jax.random.PRNGKey(1), x)["params"]
+        # identical param trees: the fused path declares Conv_0/Conv_1/
+        # ChannelLayerNorm_0 with nn.Conv-compatible shapes
+        pf = laf.init(jax.random.PRNGKey(1), x)["params"]
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(pf)
+        return x, la, laf, params
+
+    def test_forward_matches_module(self):
+        for shape in [(4, 8, 8, 16), (3, 16, 16, 64)]:  # odd batch pads tb
+            x, la, laf, params = self._pair(shape)
+            out1 = la.apply({"params": params}, x)
+            out2 = laf.apply({"params": params}, x)
+            np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_module(self):
+        x, la, laf, params = self._pair((2, 8, 8, 16))
+
+        def loss(p, mod):
+            return jnp.sum(jnp.sin(mod.apply({"params": p}, x)))
+
+        g1 = jax.grad(lambda p: loss(p, la))(params)
+        g2 = jax.grad(lambda p: loss(p, laf))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+            g1, g2)
+
+    def test_unet_flag_end_to_end(self):
+        from nfdpm_tpu.models.unet import Unet
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        u1 = Unet(dim=16, dim_mults=(1, 2), channels=3, resnet_block_groups=4)
+        u2 = Unet(dim=16, dim_mults=(1, 2), channels=3, resnet_block_groups=4,
+                  fused_attention=True)
+        params = u1.init(jax.random.PRNGKey(3), x, t, None)["params"]
+        o1 = u1.apply({"params": params}, x, t, None)
+        o2 = u2.apply({"params": params}, x, t, None)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-5)

@@ -121,7 +121,7 @@ def _mfu_time_fwd(unet, batch, chain=50, reps=3):
     return ms, gflop
 
 
-def mfu_profile(reps=3):
+def mfu_profile(reps=3, only=()):
     """Ablation-based answer to 'where do the UNet's cycles go'. Ablations
     monkeypatch the module classes (profiling harness only — product code
     unchanged): attention blocks become identity; time-FiLM is dropped by
@@ -149,13 +149,15 @@ def mfu_profile(reps=3):
     def no_film_call(self, x, time_emb=None):
         return orig_res(self, x, None)
 
-    def build(dim=64, dtype=jnp.float32):
+    def build(dim=64, dtype=jnp.float32, **kw):
         return unet_mod.Unet(dim=dim, dim_mults=(1, 2), channels=6,
-                             resnet_block_groups=8, dtype=dtype)
+                             resnet_block_groups=8, dtype=dtype, **kw)
 
     rows = []
 
     def run(name, batch, ctxs=(), **kw):
+        if only and name not in only:
+            return
         with contextlib.ExitStack() as stack:
             for c in ctxs:
                 stack.enter_context(c)
@@ -171,6 +173,7 @@ def mfu_profile(reps=3):
 
     for batch in (64, 256):
         run("base_fp32", batch)
+        run("fused_attention", batch, fused_attention=True)
         run("bf16_convs", batch, dtype=jnp.bfloat16)
         run("no_attention", batch,
             ctxs=[patched(unet_mod.LinearAttention, identity_call),
@@ -195,10 +198,12 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--mfu", action="store_true")
+    ap.add_argument("--mfu-variants", nargs="*", default=[],
+                    help="restrict --mfu to these variant names")
     args = ap.parse_args()
 
     if args.mfu:
-        mfu_profile(reps=args.reps)
+        mfu_profile(reps=args.reps, only=tuple(args.mfu_variants))
         return
 
     if args.sweep:
