@@ -32,6 +32,9 @@ BATCH = int(os.environ.get("NFDPM_BENCH_BATCH", "64"))
 CHAIN = int(os.environ.get("NFDPM_BENCH_CHAIN", "50"))
 WIDTH = int(os.environ.get("NFDPM_BENCH_WIDTH", "512"))
 RUN_DDPM = os.environ.get("NFDPM_BENCH_DDPM", "1") != "0"
+# Coupling-CNN storage dtype. Default fp32 = apples-to-apples vs the fp32
+# torch-CPU baseline; bfloat16 measures 1.14x on this chain (BENCH.md r3).
+DTYPE = os.environ.get("NFDPM_BENCH_DTYPE", "float32")
 
 
 def bench_ddpm():
@@ -76,7 +79,8 @@ def main():
     from nfdpm_tpu.models import glow as glow_m
 
     cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4,
-                            coupling_width=WIDTH, scan_unroll=4)
+                            coupling_width=WIDTH, scan_unroll=4,
+                            coupling_dtype=DTYPE)
     params = jax.device_put(glow_m.init_glow(0, cfg))
     x0 = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 32, 3), jnp.float32) - 0.5
 
