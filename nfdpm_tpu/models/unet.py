@@ -235,23 +235,45 @@ class LinearAttention(nn.Module):
 
 
 class Attention(nn.Module):
-    """Full softmax attention (gaussian_diffusion.py:336-358)."""
+    """Full softmax attention (gaussian_diffusion.py:336-358).
+
+    `stacked=True` folds the 4 heads into the sequence axis: QK^T / AV run
+    as single [heads*N, heads*N] matmuls (128-lane aligned at mid-block
+    N=16..64) instead of 4 tiny per-head [N, dh] einsums, with cross-head
+    sim entries masked to -inf before the softmax — exact same math, same
+    params (the masked rows renormalize over their own head's block only).
+    Same MXU-mapping trick as LinearAttention's masked-block context."""
 
     heads: int = 4
     dim_head: int = 32
+    stacked: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        n = h * w
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _to_heads(q, self.heads) * (self.dim_head ** -0.5)
         k = _to_heads(k, self.heads)
         v = _to_heads(v, self.heads)
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        if self.stacked:
+            hn = self.heads * n
+            q = q.reshape(b, hn, self.dim_head)
+            k = k.reshape(b, hn, self.dim_head)
+            v = v.reshape(b, hn, self.dim_head)
+            blk = jnp.arange(hn) // n
+            same_head = blk[:, None] == blk[None, :]
+            sim = jnp.einsum("bid,bjd->bij", q, k)
+            sim = jnp.where(same_head, sim, -jnp.inf)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bij,bjd->bid", attn, v)
+            out = out.reshape(b, self.heads, n, self.dim_head)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hidden)
         return nn.Conv(c, (1, 1))(out)
 
@@ -312,6 +334,9 @@ class Unet(nn.Module):
     fused_attention: bool = False  # Pallas VMEM-resident linear-attention
     # blocks (ops/pallas/fused_linear_attention.py); same params/math as
     # the XLA path — A/B on the target chip (BENCH.md round 3)
+    stacked_mid_attn: bool = False  # fold mid-block attention heads into
+    # the sequence axis (block-diag -inf mask; exact math, MXU-aligned
+    # matmuls) — A/B knob, see Attention.stacked
     remat: bool = False  # rematerialize ResnetBlocks in the backward pass
     # (activation memory ~ O(depth) -> O(1) per block; for CelebA-128-scale
     # UNets, cf. jax.checkpoint on the flow scan)
@@ -370,7 +395,7 @@ class Unet(nn.Module):
 
         mid_dim = dims[-1]
         x = Res(mid_dim, groups, dt, name="mid_res1")(x, t)
-        x = PreNormResidual(Attention())(x)
+        x = PreNormResidual(Attention(stacked=self.stacked_mid_attn))(x)
         x = Res(mid_dim, groups, dt, name="mid_res2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):

@@ -69,10 +69,14 @@ def make_two_group_optimizer(
     opt = optax.adam if tcfg.optimizer == "adam" else optax.adamw
 
     def label_fn(params):
-        return {
-            "flow": jax.tree.map(lambda _: "flow", params["flow"]),
-            "diffusion": jax.tree.map(lambda _: "diffusion", params["diffusion"]),
-        }
+        # Label by tree path (not by subscripting `params`): this keeps the
+        # optimizer compatible with optax.tree_map_params, whose
+        # _ParamsPlaceholder probe is a pytree but not a dict.
+        def label(path, _):
+            head = getattr(path[0], "key", None) or getattr(path[0], "name", "")
+            return "flow" if head == "flow" else "diffusion"
+
+        return jax.tree_util.tree_map_with_path(label, params)
 
     flow_tx = (
         optax.set_to_zero() if frozen or tcfg.lr_nf is None else opt(tcfg.lr_nf)
@@ -156,6 +160,32 @@ def init_train_state(
             "step": jnp.zeros((), jnp.int32)}
 
 
+def shard_diffusion_state(mesh, tx, state, *, fsdp: bool = False):
+    """Re-place the diffusion-prior train state under the mesh's plan:
+    UNet tensor-parallel shardings over "model", Glow TP rules for the
+    (possibly frozen) flow, and with `fsdp=True` ZeRO partitioning of every
+    large param + Adam moment over "data" (parallel/sharding_rules.py).
+    The frozen flow is FSDP-sharded too — frozen weights still occupy HBM."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding_rules import (
+        glow_param_specs, shard_opt_state, unet_param_specs)
+
+    n_data = mesh.shape["data"] if fsdp else 1
+    specs = {
+        "flow": glow_param_specs(state["params"]["flow"], fsdp_data=n_data),
+        "diffusion": {"parts": tuple(
+            unet_param_specs(p, fsdp_data=n_data)
+            for p in state["params"]["diffusion"]["parts"])},
+    }
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state["params"], specs)
+    opt_state = shard_opt_state(mesh, tx, state["opt_state"], specs)
+    return {"params": params, "opt_state": opt_state,
+            "step": jax.device_put(state["step"], NamedSharding(mesh, P()))}
+
+
 def calculate_bpd_with_diff_prior(
     backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig,
     params, loader: Loader, key, max_batches: Optional[int] = None,
@@ -226,6 +256,7 @@ def train(
     resume_epoch: Optional[int] = None,
     evaluate_fn=None,
     mesh=None,
+    fsdp: bool = False,
 ) -> Dict[str, Any]:
     key = jax.random.PRNGKey(seed)
     tx = make_two_group_optimizer(tcfg, backbone.frozen)
@@ -240,6 +271,13 @@ def train(
             state = restore_state(resume_dir, "diffusion", resume_epoch, state)
             start_epoch, current_iter = resume_epoch, int(state["step"])
             logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
+
+        n_model = mesh.shape.get("model", 1)
+        if n_model > 1 or fsdp:
+            state = shard_diffusion_state(mesh, tx, state, fsdp=fsdp)
+            logger.info(
+                f"Param shardings applied: model axis={n_model}"
+                f"{', FSDP over data axis' if fsdp else ''}")
 
         train_step = make_train_step(backbone, dp, tcfg, tx)
         sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=mesh)

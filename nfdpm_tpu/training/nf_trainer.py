@@ -145,6 +145,32 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def shard_nf_state(mesh, tx, state, *, fsdp: bool = False):
+    """Re-place a full train state under the mesh's parallelism plan:
+    tensor-parallel coupling-width shardings over "model" (when the mesh has
+    a model axis) plus, with `fsdp=True`, ZeRO-style partitioning of params
+    AND Adam moments over "data" (parallel/sharding_rules.py). Works on
+    freshly-initialized and checkpoint-restored states alike — optimizer
+    moments are re-placed, never re-initialized."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding_rules import (
+        generic_param_specs, glow_param_specs, shard_opt_state)
+
+    n_data = mesh.shape["data"] if fsdp else 1
+    specs = {
+        "flow": glow_param_specs(state["params"]["flow"], fsdp_data=n_data),
+        "prior": generic_param_specs(state["params"]["prior"],
+                                     fsdp_data=n_data),
+    }
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state["params"], specs)
+    opt_state = shard_opt_state(mesh, tx, state["opt_state"], specs)
+    return {"params": params, "opt_state": opt_state,
+            "step": jax.device_put(state["step"], NamedSharding(mesh, P()))}
+
+
 def make_eval_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig):
     """Jitted per-batch eval: returns per-example BPD [B] (single-sample
     dequantization, matching reference calculate_bpd). The log-likelihood
@@ -263,9 +289,11 @@ def train(
     resume_epoch: Optional[int] = None,
     evaluate_fn=None,
     mesh=None,
+    fsdp: bool = False,
 ) -> Dict[str, Any]:
     """Full training driver. `evaluate_fn(sample_fn, params, epoch)` is an
-    optional hook for FID/KID evaluation (metrics engine)."""
+    optional hook for FID/KID evaluation (metrics engine). `fsdp=True`
+    partitions params + Adam moments over the mesh "data" axis (ZeRO)."""
     key = jax.random.PRNGKey(seed)
     tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
     mesh = mesh or mesh_m.make_mesh()
@@ -294,6 +322,13 @@ def train(
             params = {"flow": flow_init, "prior": state["params"]["prior"]}
             state = {"params": params, "opt_state": tx.init(params), "step": state["step"]}
             logger.info("Data-dependent actnorm initialization done")
+
+        n_model = mesh.shape.get("model", 1)
+        if n_model > 1 or fsdp:
+            state = shard_nf_state(mesh, tx, state, fsdp=fsdp)
+            logger.info(
+                f"Param shardings applied: model axis={n_model}"
+                f"{', FSDP over data axis' if fsdp else ''}")
 
         save_architecture(
             run_dir,

@@ -71,11 +71,16 @@ def make_optimizer(
     tx = optax.chain(*chain)
 
     if fixed_prior:
+        # Label by tree path, not by dict iteration: optax.tree_map_params
+        # (used by parallel.sharding_rules.shard_opt_state for FSDP) probes
+        # the optimizer with a _ParamsPlaceholder pytree that is not a dict.
         def label_fn(params):
-            return {
-                k: jax.tree.map(lambda _: ("prior" if k == "prior" else "flow"), v)
-                for k, v in params.items()
-            }
+            def label(path, _):
+                head = (getattr(path[0], "key", None)
+                        or getattr(path[0], "name", ""))
+                return "prior" if head == "prior" else "flow"
+
+            return jax.tree_util.tree_map_with_path(label, params)
 
         tx = optax.multi_transform({"flow": tx, "prior": optax.set_to_zero()},
                                    label_fn)

@@ -110,6 +110,7 @@ def main(argv):
         )
 
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    fsdp = bool(cfg.select("parallel.fsdp", False))
     resume_dir = cfg.load.load_exp_dir
     resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
     if resume_dir:
@@ -120,7 +121,7 @@ def main(argv):
             cfg=gcfg, tcfg=tcfg, loaders=loaders, run_dir=run_dir, logger=logger,
             seed=int(cfg.seed), img_size=int(cfg.data.img_size),
             resume_dir=resume_dir, resume_epoch=resume_epoch,
-            evaluate_fn=evaluate_fn, mesh=mesh,
+            evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
         )
         logger.info(f"Training done: {out['results']}")
     elif cfg.phase == "eval":

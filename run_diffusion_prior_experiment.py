@@ -102,6 +102,7 @@ def main(argv):
     # mesh first: the prior's sampler chains batch-shard over it (diffusion
     # FID-scale generation runs data-parallel; single device => no-op)
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    fsdp = bool(cfg.select("parallel.fsdp", False))
     dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
                         diffusion_kwargs=diffusion_kwargs,
                         batch_sharding=mesh_m.data_sharding(mesh))
@@ -175,7 +176,7 @@ def main(argv):
             backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
             loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),
             resume_dir=resume_dir, resume_epoch=resume_epoch,
-            evaluate_fn=evaluate_fn, mesh=mesh,
+            evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
         )
         _report_vlb(out["state"]["params"])
     elif cfg.phase == "eval":

@@ -210,3 +210,40 @@ def test_unet_bfloat16_dtype_knob():
     assert float(jnp.max(jnp.abs(y32 - y16))) / scale < 0.05
     g = jax.grad(lambda p: jnp.sum(u16.apply({"params": p}, x, t, None) ** 2))(params)
     assert all(np.isfinite(l).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_stacked_mid_attention_exact():
+    """Attention(stacked=True) — heads folded into the sequence axis with a
+    block-diagonal -inf mask — is exactly per-head attention on the same
+    params (the -inf entries softmax to hard zeros), module-level and
+    through a full Unet(stacked_mid_attn=True)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nfdpm_tpu.models.unet import Attention, Unet
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 8, 8, 32))
+    a = Attention(heads=4, dim_head=32)
+    a_s = Attention(heads=4, dim_head=32, stacked=True)
+    params = a.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                a_s.init(jax.random.PRNGKey(0), x)["params"]))
+    o1 = a.apply({"params": params}, x)
+    o2 = a_s.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+    # grads flow through the masked softmax (no NaN from the -inf entries)
+    g = jax.grad(lambda p: jnp.sum(a_s.apply({"params": p}, x) ** 2))(params)
+    assert all(np.isfinite(l).all() for l in jax.tree_util.tree_leaves(g))
+
+    xt = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+    t = jnp.array([3, 7])
+    kw = dict(dim=16, dim_mults=(1, 2), channels=3, resnet_block_groups=8)
+    u1 = Unet(**kw)
+    up = u1.init(jax.random.PRNGKey(1), xt, t, None)["params"]
+    y1 = u1.apply({"params": up}, xt, t, None)
+    y2 = Unet(stacked_mid_attn=True, **kw).apply({"params": up}, xt, t, None)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)

@@ -220,3 +220,140 @@ def test_sharded_diffusion_sampling_matches_unsharded():
         # 4-step chain that costs a few 1e-5 on isolated elements
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-style param + optimizer-state sharding over the data axis)
+# ---------------------------------------------------------------------------
+
+CFG_FSDP = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                             coupling_width=128)
+
+
+def _count_data_sharded(specs):
+    return sum(
+        1 for s in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        if "data" in [a for a in s if a is not None]
+    )
+
+
+def test_fsdp_specs_shard_large_leaves():
+    """With fsdp_data=8 the width-128 coupling kernels get a data-axis
+    shard on their largest free dim; tiny leaves (actnorm vectors) stay
+    replicated; TP 'model' assignments are preserved alongside."""
+    params = glow_m.init_glow(0, CFG_FSDP)
+    specs = glow_param_specs(params, fsdp_data=8)
+    assert _count_data_sharded(specs) > 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_s = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    for (path, leaf), s in zip(flat, flat_s):
+        axes = [a for a in s if a is not None]
+        # no axis is double-assigned and every named dim divides evenly
+        assert len(axes) == len(set(axes))
+        entries = list(s) + [None] * (leaf.ndim - len(s))
+        for i, name in enumerate(entries):
+            if name == "data":
+                assert leaf.shape[i] % 8 == 0
+                assert leaf.size >= 2 ** 15
+    # TP rules still present when combined
+    assert any(
+        "model" in [a for a in s if a is not None] for s in flat_s
+    )
+
+
+def test_fsdp_train_step_matches_single_device():
+    """DP x TP + FSDP on a (4,2) mesh computes the same step as one device,
+    with params AND Adam moments actually partitioned over 'data'."""
+    tcfg = nft.NFTrainConfig(epochs=1, lr=1e-3)
+    tx = make_optimizer("adam", 1e-3)
+    key = jax.random.PRNGKey(0)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    train_step = nft.make_train_step(CFG_FSDP, tcfg, tx)
+
+    state = nft.init_train_state(0, CFG_FSDP, tcfg, tx)
+    s1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key)
+
+    mesh = mesh_m.make_mesh(n_data=4, n_model=2)
+    with mesh:
+        sharded = nft.shard_nf_state(
+            mesh, tx, nft.init_train_state(0, CFG_FSDP, tcfg, tx), fsdp=True)
+
+        def data_sharded_leaves(tree):
+            return [
+                x for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "sharding")
+                and "data" in [
+                    a for a in getattr(x.sharding, "spec", ()) if a is not None
+                ]
+            ]
+
+        assert len(data_sharded_leaves(sharded["params"])) > 0
+        assert len(data_sharded_leaves(sharded["opt_state"])) > 0
+        s2, m2 = train_step(sharded, mesh_m.shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(m1["bpd"]), float(m2["bpd"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-5
+        ),
+        s1["params"], s2["params"],
+    )
+
+
+def test_fsdp_diffusion_state_and_step():
+    """shard_diffusion_state partitions the UNet parts + frozen flow over
+    'data' and the train step still matches the unsharded one."""
+    from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
+    from nfdpm_tpu.models.formaters import IdentityFormater
+    from nfdpm_tpu.models.nf_backbone import NFBackbone
+    from nfdpm_tpu.training import diffusion_trainer as dft
+
+    cfg = glow_m.GlowConfig(in_channels=3, levels=2, steps=1,
+                            coupling_width=128)
+    backbone = NFBackbone(cfg=cfg, img_size=8, frozen=True)
+    formater = IdentityFormater(L=cfg.levels, in_channels=cfg.in_channels,
+                                size=8)
+    dp = DiffusionPrior(
+        formater=formater,
+        unet_kwargs={"dim": 64, "dim_mults": (1,), "resnet_block_groups": 8},
+        diffusion_kwargs={"timesteps": 4, "beta_schedule": "cosine",
+                          "loss_type": "l2"},
+    )
+    tcfg = dft.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-3)
+    tx = dft.make_two_group_optimizer(tcfg, frozen=True)
+    flow_params = glow_m.init_glow(0, cfg)
+    batch = jax.random.uniform(jax.random.PRNGKey(5), (16, 8, 8, 3))
+    key = jax.random.PRNGKey(6)
+    step = dft.make_train_step(backbone, dp, tcfg, tx)
+
+    state = dft.init_train_state(0, backbone, flow_params, dp, tx)
+    s1, m1 = step(jax.tree.map(jnp.copy, state), batch, key)
+
+    mesh = mesh_m.make_mesh(n_data=8, n_model=1)
+    with mesh:
+        sharded = dft.shard_diffusion_state(
+            mesh, tx, dft.init_train_state(0, backbone, flow_params, dp, tx),
+            fsdp=True)
+        n_sharded = sum(
+            1 for x in jax.tree_util.tree_leaves(sharded["params"])
+            if "data" in [
+                a for a in getattr(x.sharding, "spec", ()) if a is not None
+            ]
+        )
+        assert n_sharded > 0
+        s2, m2 = step(sharded, mesh_m.shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # Adam at step 1 normalizes each grad element by its own magnitude
+    # (update ~ ±lr regardless of |g|), so a last-ulp reduction-order
+    # difference on a near-zero grad element can move its update by O(lr).
+    # atol = lr/2 keeps the check meaningful (real sharding bugs shift
+    # whole tensors) while tolerating isolated such elements.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        ),
+        s1["params"]["diffusion"], s2["params"]["diffusion"],
+    )

@@ -35,7 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_once(batch, T, unroll, ddim_steps=None, reps=3):
+def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,8 @@ def bench_once(batch, T, unroll, ddim_steps=None, reps=3):
     h = w = 16
     c = 6
 
-    unet = Unet(dim=64, dim_mults=(1, 2), channels=c, resnet_block_groups=8)
+    unet = Unet(dim=64, dim_mults=(1, 2), channels=c, resnet_block_groups=8,
+                stacked_mid_attn=stacked)
     x0 = jnp.zeros((batch, h, w, c))
     t0_arr = jnp.zeros((batch,), jnp.int32)
     variables = unet.init(jax.random.PRNGKey(0), x0, t0_arr, None)
@@ -200,6 +201,9 @@ def main():
     ap.add_argument("--mfu", action="store_true")
     ap.add_argument("--mfu-variants", nargs="*", default=[],
                     help="restrict --mfu to these variant names")
+    ap.add_argument("--stacked", action="store_true",
+                    help="Unet(stacked_mid_attn=True): mid-block attention "
+                         "heads folded into the sequence axis (exact math)")
     args = ap.parse_args()
 
     if args.mfu:
@@ -214,9 +218,12 @@ def main():
                 print(json.dumps(r))
         return
 
-    r = bench_once(args.batch, args.T, args.unroll, args.ddim, reps=args.reps)
+    r = bench_once(args.batch, args.T, args.unroll, args.ddim,
+                   reps=args.reps, stacked=args.stacked)
     r["metric"] = (f"ddpm_unet64_denoise_steps_per_sec_batch{args.batch}"
                    f"_16x16x6")
+    if args.stacked:
+        r["metric"] += "_stackedattn"
     r["value"] = r["steps_per_sec"]
     r["unit"] = "steps/sec"
     print(json.dumps(r))
