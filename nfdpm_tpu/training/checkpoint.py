@@ -42,16 +42,45 @@ def load_architecture(run_dir: str) -> Dict[str, Any]:
         return json.load(f)
 
 
-def save_state(run_dir: str, prefix: str, epoch: int, state: Any) -> str:
-    """Write `checkpoints/model_{prefix}_{epoch:03d}` (async-safe, atomic)."""
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _get_async_ckptr() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def save_state(run_dir: str, prefix: str, epoch: int, state: Any,
+               *, block: bool = True) -> str:
+    """Write `checkpoints/model_{prefix}_{epoch:03d}` (atomic).
+
+    `block=False` returns as soon as the state is staged to host memory and
+    commits the write on a background thread (Orbax AsyncCheckpointer), so
+    periodic epoch saves don't stall the train loop on disk I/O. Callers
+    must `wait_for_saves()` before reading the checkpoint back or exiting
+    the process; the trainers do this at end-of-training and before any
+    same-run restore."""
     path = os.path.abspath(os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+    if block:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, state, force=True)
+    else:
+        _get_async_ckptr().save(
+            path, args=ocp.args.StandardSave(state), force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until every `save_state(..., block=False)` has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore_state(run_dir: str, prefix: str, epoch: int, template: Any) -> Any:
     """Restore into the shape/dtype structure of `template`."""
+    wait_for_saves()  # the target may still be committing on the writer thread
     path = os.path.abspath(os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:

@@ -37,7 +37,7 @@ from ..models.diffusion_prior import DiffusionPrior
 from ..models.nf_backbone import NFBackbone
 from ..ops import quantize as q
 from ..parallel import mesh as mesh_m
-from .checkpoint import restore_state, save_state
+from .checkpoint import restore_state, save_state, wait_for_saves
 from .optim import trainable_mask
 from .tracking import Tracker
 
@@ -325,17 +325,22 @@ def train(
                 if epoch % tcfg.save_checkpoint_freq == 0:
                     if evaluate_fn is not None:
                         evaluate_fn(sample_fn, state["params"], epoch)
-                    save_state(run_dir, "diffusion", epoch, state)
+                    save_state(run_dir, "diffusion", epoch, state,
+                               block=False)  # commits on a writer thread
                     samples = sample_fn(state["params"], key, 64, tcfg.temperature,
                                         np.int32(epoch))
                     tracker.track_images(np.asarray(samples), "checkpoint_samples",
                                          step=current_iter, epoch=epoch)
         except KeyboardInterrupt:
+            wait_for_saves()  # an async save may target this same epoch path
             save_state(run_dir, "diffusion", epoch, state)
             logger.warning(f"Interrupted — emergency checkpoint at epoch {epoch}")
             raise
 
         final_epoch = start_epoch + tcfg.epochs
+        # wait first: the last loop epoch may have queued an async save to
+        # this same path (final_epoch % save_checkpoint_freq == 0)
+        wait_for_saves()
         save_state(run_dir, "diffusion", final_epoch, state)
 
         results = {}

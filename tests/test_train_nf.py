@@ -204,3 +204,39 @@ def test_fixed_prior_excluded_from_clip_norm():
     np.testing.assert_allclose(np.asarray(u1["flow"]["w"]),
                                np.asarray(u2["flow"]["w"]), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(u2["prior"]["bias"]), 0.0)
+
+
+def test_async_checkpoint_save_restore(tmp_path):
+    """save_state(block=False) commits on the Orbax writer thread;
+    wait_for_saves()/restore_state see the full committed state, including
+    an immediate same-path overwrite race (async save -> blocking save to
+    the same epoch path, the final-epoch pattern in the trainers)."""
+    import numpy as np
+
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.training.checkpoint import (restore_state, save_state,
+                                               wait_for_saves)
+
+    cfg = glow_m.GlowConfig(in_channels=3, levels=2, steps=1,
+                            coupling_width=16)
+    params = glow_m.init_glow(0, cfg)
+    state = {"params": {"flow": params}, "step": jnp.ones((), jnp.int32)}
+
+    save_state(str(tmp_path), "nf", 1, state, block=False)
+    wait_for_saves()
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_state(str(tmp_path), "nf", 1, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state, restored)
+
+    # async save immediately followed by a blocking overwrite of the SAME
+    # path (trainer final-epoch pattern: wait_for_saves() then save_state)
+    state2 = jax.tree.map(lambda x: x + 1, state)
+    save_state(str(tmp_path), "nf", 2, state, block=False)
+    wait_for_saves()
+    save_state(str(tmp_path), "nf", 2, state2)
+    restored2 = restore_state(str(tmp_path), "nf", 2, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state2, restored2)
