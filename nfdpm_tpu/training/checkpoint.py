@@ -32,13 +32,15 @@ def _ckpt_dir(run_dir: str) -> str:
     return d
 
 
-def save_architecture(run_dir: str, arch: Dict[str, Any]) -> None:
-    with open(os.path.join(run_dir, "architecture.json"), "w") as f:
+def save_architecture(run_dir: str, arch: Dict[str, Any],
+                      filename: str = "architecture.json") -> None:
+    with open(os.path.join(run_dir, filename), "w") as f:
         json.dump(arch, f, indent=2)
 
 
-def load_architecture(run_dir: str) -> Dict[str, Any]:
-    with open(os.path.join(run_dir, "architecture.json")) as f:
+def load_architecture(run_dir: str,
+                      filename: str = "architecture.json") -> Dict[str, Any]:
+    with open(os.path.join(run_dir, filename)) as f:
         return json.load(f)
 
 

@@ -122,6 +122,31 @@ def main(argv):
         compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
     )
 
+    # Persist everything a standalone consumer (tools/generate_samples.py,
+    # later eval runs) needs to rebuild this prior from the run dir alone —
+    # the flow's GlowConfig, formater, UNet + diffusion kwargs. The baseline
+    # runs get the analogous architecture.json from nf_trainer.train.
+    from nfdpm_tpu.training.checkpoint import save_architecture
+
+    save_architecture(run_dir, {
+        "kind": "diffusion_prior",
+        "flow": {
+            "L": backbone.cfg.levels, "K": backbone.cfg.steps,
+            "in_channels": backbone.cfg.in_channels,
+            "coupling_width": backbone.cfg.coupling_width,
+            "learn_prior": backbone.cfg.learn_prior,
+            "invconv_param": backbone.cfg.invconv_param,
+            "img_size": img_size,
+        },
+        "formater": str(nf_cfg.latent_formater),
+        "unet_kwargs": {k: (list(v) if isinstance(v, tuple) else v)
+                        for k, v in unet_kwargs.items()},
+        "diffusion_kwargs": diffusion_kwargs,
+        "frozen": frozen,
+        "n_bits": int(tr.n_bits),
+        "temperature": float(tr.temperature),
+    }, filename="diffusion_architecture.json")
+
     loaders = read_dataset(
         cfg.data.name, cfg.data.root, digits=cfg.data.digits,
         batch_size=int(cfg.data.batch_size), img_size=img_size,

@@ -101,3 +101,25 @@ def test_two_stage_workflow(workdir, monkeypatch):
         "model.diffusion.timesteps=8",
         "model.diffusion.sampling_timesteps=4",
     ])
+
+    # standalone generation tool on BOTH run kinds (tools/generate_samples.py)
+    import numpy as np
+
+    from tools.generate_samples import main as gen_main
+
+    gen_main(["--run-dir", os.path.join(workdir, "outputs", nf_run),
+              "--n", "12", "--batch", "8", "--seed", "3"])
+    gen_dir = os.path.join(workdir, "outputs", nf_run, "generated")
+    nf_samples = np.load(os.path.join(gen_dir, "samples.npz"))["samples"]
+    assert nf_samples.shape == (12, 8, 8, 3) and nf_samples.dtype == np.uint8
+    assert os.path.exists(os.path.join(gen_dir, "grid.png"))
+
+    assert os.path.exists(os.path.join(
+        workdir, "outputs", diff_run, "diffusion_architecture.json"))
+    # diffusion run, sharded over the 8-device virtual mesh (n=9 also
+    # exercises the non-divisible final shard via the sharding constraint)
+    gen_main(["--run-dir", os.path.join(workdir, "outputs", diff_run),
+              "--n", "9", "--batch", "8", "--ddim", "2", "--data-parallel"])
+    d_dir = os.path.join(workdir, "outputs", diff_run, "generated")
+    d_samples = np.load(os.path.join(d_dir, "samples.npz"))["samples"]
+    assert d_samples.shape == (9, 8, 8, 3) and d_samples.dtype == np.uint8

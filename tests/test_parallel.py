@@ -357,3 +357,33 @@ def test_fsdp_diffusion_state_and_step():
         ),
         s1["params"]["diffusion"], s2["params"]["diffusion"],
     )
+
+
+def test_fsdp_partitions_device_memory():
+    """Quantitative FSDP evidence: device-0's addressable bytes for params +
+    Adam moments drop to ~1/n_data of the replicated layout (small leaves
+    stay replicated, so the bound is loose-but-meaningful)."""
+    tcfg = nft.NFTrainConfig(epochs=1, lr=1e-3)
+    tx = make_optimizer("adam", 1e-3)
+    mesh = mesh_m.make_mesh(n_data=8, n_model=1)
+
+    def dev0_bytes(tree):
+        total = 0
+        for x in jax.tree_util.tree_leaves(tree):
+            if isinstance(x, jax.Array):
+                total += x.addressable_shards[0].data.nbytes
+        return total
+
+    with mesh:
+        state_r = nft.shard_nf_state(
+            mesh, tx, nft.init_train_state(0, CFG_FSDP, tcfg, tx), fsdp=False)
+        state_f = nft.shard_nf_state(
+            mesh, tx, nft.init_train_state(0, CFG_FSDP, tcfg, tx), fsdp=True)
+        rep = dev0_bytes(state_r["params"]) + dev0_bytes(state_r["opt_state"])
+        fsdp = dev0_bytes(state_f["params"]) + dev0_bytes(state_f["opt_state"])
+    # At width 128 only the [3,3,128,128] conv2 kernels (+ their Adam
+    # moments) clear the 32k-element FSDP_MIN_SIZE gate; conv1/zeroconv/
+    # actnorm leaves stay replicated by design. Measured: 2.36 MB -> 1.09 MB
+    # on device 0 (2.16x). Production widths (256-512) shard a larger
+    # fraction. Assert the 2x floor.
+    assert fsdp < rep / 2.0, (fsdp, rep)

@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Standalone sample generation from a finished run directory.
+
+The reference only generates images inside its training/eval loops (grids
+logged to Aim, samples produced for FID); there is no "give me N samples
+from this checkpoint" command (/root/reference/diffusion_prior/trainer.py:
+181-182 is the closest). This tool fills that production gap for BOTH run
+kinds, rebuilding everything from the run dir alone:
+
+  * baseline (Glow) runs: architecture.json + model_gaussian_* checkpoints
+    -> prior sample -> flow inverse;
+  * diffusion-prior runs: diffusion_architecture.json + model_diffusion_*
+    checkpoints -> per-part denoise chains -> formater -> flow inverse.
+
+Generation is batched (FID-scale friendly: batch 256 + --ddim 100 matches
+the BENCH.md time-to-50k recipe) and lands as `samples.npz` (uint8 NHWC)
+plus an 8-wide `grid.png` preview.
+
+    python tools/generate_samples.py --run-dir nf_mnist_2026-.. --n 1024
+    python tools/generate_samples.py --run-dir diff_mnist_2026-.. \
+        --n 50000 --batch 256 --ddim 100 --out /tmp/fid_samples
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _resolve_run_dir(name: str) -> str:
+    for cand in (name, os.path.join("outputs", name)):
+        if os.path.isdir(os.path.join(cand, "checkpoints")):
+            return cand
+    raise SystemExit(f"no run dir with checkpoints/ at '{name}' "
+                     f"or 'outputs/{name}'")
+
+
+def _build_glow(run_dir: str, epoch: int, mesh=None):
+    import jax
+
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.training import nf_trainer as nft
+    from nfdpm_tpu.training.checkpoint import load_architecture, restore_state
+    from nfdpm_tpu.training.optim import make_optimizer
+
+    arch = load_architecture(run_dir)
+    gcfg = glow_m.GlowConfig(
+        in_channels=int(arch["in_channels"]), levels=int(arch["L"]),
+        steps=int(arch["K"]),
+        coupling_width=int(arch.get("coupling_width", 512)),
+        learn_prior=bool(arch.get("learn_prior", True)),
+    )
+    tcfg = nft.NFTrainConfig(
+        n_bits=int(arch.get("n_bits", 5)),
+        compat_fixed_prior=bool(arch.get("fixed_prior", True)),
+    )
+    tx = make_optimizer("adam", 1e-3, fixed_prior=tcfg.compat_fixed_prior)
+    template = nft.init_train_state(0, gcfg, tcfg, tx)
+    state = restore_state(run_dir, "gaussian", epoch, template)
+    import numpy as np
+    state = jax.tree.map(np.asarray, state)
+    if mesh is not None:
+        from nfdpm_tpu.parallel import mesh as mesh_m
+
+        state = mesh_m.replicate(mesh, state)
+    else:
+        state = jax.device_put(state)
+    sample_fn = nft.make_sample_fn(gcfg, tcfg, int(arch["img_size"]),
+                                   mesh=mesh)
+    return sample_fn, state["params"], float(
+        arch.get("temperature", tcfg.temperature))
+
+
+def _build_diffusion(run_dir: str, epoch: int, ddim: int | None, mesh=None):
+    import jax
+
+    from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
+    from nfdpm_tpu.models.formaters import get_formater
+    from nfdpm_tpu.models.nf_backbone import NFBackbone
+    from nfdpm_tpu.training import diffusion_trainer as dt
+    from nfdpm_tpu.training.checkpoint import load_architecture, restore_state
+
+    arch = load_architecture(run_dir, "diffusion_architecture.json")
+    fl = arch["flow"]
+    gcfg = glow_m.GlowConfig(
+        in_channels=int(fl["in_channels"]), levels=int(fl["L"]),
+        steps=int(fl["K"]), coupling_width=int(fl["coupling_width"]),
+        learn_prior=bool(fl.get("learn_prior", True)),
+        invconv_param=str(fl.get("invconv_param", "plu")),
+    )
+    img_size = int(fl["img_size"])
+    backbone = NFBackbone(cfg=gcfg, img_size=img_size,
+                          frozen=bool(arch.get("frozen", True)))
+    formater = get_formater(arch["formater"])(
+        L=gcfg.levels, in_channels=gcfg.in_channels, size=img_size)
+    dkw = dict(arch["diffusion_kwargs"])
+    if ddim is not None:
+        dkw["sampling_timesteps"] = ddim
+    ukw = dict(arch["unet_kwargs"])
+    if "dim_mults" in ukw:
+        ukw["dim_mults"] = tuple(ukw["dim_mults"])
+    batch_sharding = None
+    if mesh is not None:
+        from nfdpm_tpu.parallel import mesh as mesh_m
+
+        batch_sharding = mesh_m.data_sharding(mesh)
+    dp = DiffusionPrior(formater=formater, unet_kwargs=ukw,
+                        diffusion_kwargs=dkw, batch_sharding=batch_sharding)
+    tcfg = dt.DiffusionTrainConfig(
+        n_bits=int(arch.get("n_bits", 5)),
+        temperature=float(arch.get("temperature", 1.0)),
+    )
+    tx = dt.make_two_group_optimizer(tcfg, bool(arch.get("frozen", True)))
+    template = dt.init_train_state(
+        0, backbone, glow_m.init_glow(0, gcfg), dp, tx)
+    state = restore_state(run_dir, "diffusion", epoch, template)
+    import numpy as np
+    state = jax.tree.map(np.asarray, state)
+    if mesh is not None:
+        from nfdpm_tpu.parallel import mesh as mesh_m
+
+        state = mesh_m.replicate(mesh, state)
+    else:
+        state = jax.device_put(state)
+    sample_fn = dt.make_sample_fn(backbone, dp, tcfg, mesh=mesh)
+    return sample_fn, state["params"], tcfg.temperature
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--run-dir", required=True,
+                    help="run dir (or its name under outputs/)")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="checkpoint epoch (default: latest)")
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="sampling temperature (default: the run's)")
+    ap.add_argument("--ddim", type=int, default=None,
+                    help="diffusion runs: override sampling_timesteps "
+                         "(DDIM stride) for FID-scale generation")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard generation over ALL local devices (a "
+                         "(n_devices, 1) data mesh): the prior draws / "
+                         "denoise chains and the flow inverse run "
+                         "data-parallel — multi-chip FID-scale generation")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="output dir (default: <run-dir>/generated)")
+    ap.add_argument("--no-npz", action="store_true",
+                    help="skip samples.npz (grid preview only)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from nfdpm_tpu.training.checkpoint import latest_epoch
+    from nfdpm_tpu.training.tracking import save_image_grid
+
+    run_dir = _resolve_run_dir(args.run_dir)
+    kinds = [(p, latest_epoch(run_dir, p)) for p in ("diffusion", "gaussian")]
+    kinds = [(p, e) for p, e in kinds if e is not None]
+    if not kinds:
+        raise SystemExit(f"no model_gaussian_*/model_diffusion_* checkpoints "
+                         f"in {run_dir}/checkpoints")
+    prefix, newest = kinds[0]
+    epoch = args.epoch if args.epoch is not None else newest
+
+    mesh = None
+    if args.data_parallel:
+        from nfdpm_tpu.parallel import mesh as mesh_m
+
+        mesh = mesh_m.make_mesh()
+
+    if prefix == "diffusion":
+        sample_fn, params, run_temp = _build_diffusion(
+            run_dir, epoch, args.ddim, mesh=mesh)
+    else:
+        sample_fn, params, run_temp = _build_glow(run_dir, epoch, mesh=mesh)
+    temperature = args.temperature if args.temperature is not None else run_temp
+
+    out_dir = args.out or os.path.join(run_dir, "generated")
+    os.makedirs(out_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    chunks = []
+    produced = 0
+    t0 = time.perf_counter()
+    salt = 0
+    while produced < args.n:
+        take = min(args.batch, args.n - produced)
+        # fixed batch size => one compiled program; trim the final chunk
+        imgs = np.asarray(sample_fn(params, key, args.batch, temperature,
+                                    np.int32(salt)))[:take]
+        chunks.append(imgs)
+        produced += take
+        salt += 1
+    dt_s = time.perf_counter() - t0
+    samples = np.concatenate(chunks, axis=0)
+
+    grid_path = os.path.join(out_dir, "grid.png")
+    save_image_grid(samples[:64], grid_path)
+    paths = {"grid": grid_path}
+    if not args.no_npz:
+        npz_path = os.path.join(out_dir, "samples.npz")
+        np.savez_compressed(npz_path, samples=samples)
+        paths["npz"] = npz_path
+
+    print(json.dumps({
+        "run_dir": run_dir, "kind": prefix, "epoch": epoch,
+        "n": int(samples.shape[0]), "shape": list(samples.shape),
+        "temperature": temperature, "seconds": round(dt_s, 2),
+        "samples_per_sec": round(samples.shape[0] / dt_s, 1),
+        "devices": jax.device_count() if args.data_parallel else 1, **paths,
+    }))
+
+
+if __name__ == "__main__":
+    main()
