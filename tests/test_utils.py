@@ -104,3 +104,34 @@ class TestProfiling:
         s = t.summary()
         assert s["steps"] == 4  # warmup skipped
         assert s["p50_ms"] >= 1.0
+
+
+class TestHTMLReport:
+    def test_report_from_run_dirs(self, tmp_path):
+        """tools/report.py: the aim-up substitute renders two tracked run
+        dirs into one self-contained HTML (charts, grids, config blocks)."""
+        from nfdpm_tpu.training.tracking import Tracker, save_image_grid
+        from tools.report import main as report_main
+
+        rng = np.random.default_rng(0)
+        for name, vals in (("run_a", [3.0, 2.5, 2.2]), ("run_b", [2.9, 2.6])):
+            rd = tmp_path / name
+            t = Tracker(str(rd))
+            for i, v in enumerate(vals):
+                t.track(v, "bpd", step=i, context={"subset": "test"})
+            t.close()
+            (rd / "results").mkdir()
+            save_image_grid(
+                rng.integers(0, 256, (4, 8, 8, 3)).astype(np.uint8),
+                str(rd / "results" / "samples.png"))
+            with open(rd / "config.yaml", "w") as f:
+                f.write("data:\n  name: synthetic\n")
+
+        out = str(tmp_path / "report.html")
+        report_main([str(tmp_path / "run_a"), str(tmp_path / "run_b"),
+                     "--out", out])
+        doc = open(out).read()
+        assert doc.count("class='chart'") == 1      # both runs on one chart
+        assert doc.count("class='grid'") == 2       # one grid per run
+        assert "bpd[subset=test]" in doc and "config.yaml" in doc
+        assert "data:image/png;base64," in doc
