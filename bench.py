@@ -77,6 +77,11 @@ def main():
     import jax.numpy as jnp
 
     from nfdpm_tpu.models import glow as glow_m
+    from nfdpm_tpu.utils.env import enable_compilation_cache
+
+    # timing is execution-only (chained in-jit scans), so caching compiles
+    # does not touch the measured numbers — it only cuts bench wall time
+    enable_compilation_cache()
 
     cfg = glow_m.GlowConfig(in_channels=3, levels=3, steps=4,
                             coupling_width=WIDTH, scan_unroll=4,

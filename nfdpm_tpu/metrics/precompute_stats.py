@@ -43,6 +43,10 @@ def main(argv=None):
                    help="cap the number of source images (smoke runs)")
     args = p.parse_args(argv)
 
+    from ..utils.env import enable_compilation_cache
+
+    enable_compilation_cache()  # Inception/CLIP nets compile in minutes
+
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("precompute_stats")
 

@@ -1,0 +1,146 @@
+"""Rebuild trained models from a run directory alone.
+
+The reference can only re-instantiate a model by re-running its experiment
+entry point with the original hydra config in scope
+(/root/reference/run_baseline_experiment.py:40-74); a checkpoint file by
+itself is not enough to reconstruct the architecture. Here every run dir
+persists its full architecture (`architecture.json` from the NF trainer,
+`diffusion_architecture.json` from the stage-2 entry point), so any
+consumer — the generation CLI, the interpolation CLI, later eval jobs —
+can rebuild the exact model from the directory with no config.
+
+All loaders normalize restored leaves through `np.asarray` so checkpoints
+saved under any mesh topology restore onto the current devices (see
+tests/test_parallel.py cross-topology cases).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..models import glow as glow_m
+from .checkpoint import latest_epoch, load_architecture, restore_state
+
+
+def resolve_run_dir(name: str) -> str:
+    """Accept a run dir path or its name under ./outputs."""
+    for cand in (name, os.path.join("outputs", name)):
+        if os.path.isdir(os.path.join(cand, "checkpoints")):
+            return cand
+    raise FileNotFoundError(
+        f"no run dir with checkpoints/ at '{name}' or 'outputs/{name}'")
+
+
+def detect_kind(run_dir: str) -> tuple:
+    """('diffusion'|'gaussian', newest_epoch) — diffusion wins if both."""
+    for prefix in ("diffusion", "gaussian"):
+        e = latest_epoch(run_dir, prefix)
+        if e is not None:
+            return prefix, e
+    raise FileNotFoundError(
+        f"no model_gaussian_*/model_diffusion_* checkpoints in "
+        f"{run_dir}/checkpoints")
+
+
+@dataclasses.dataclass(frozen=True)
+class GlowRun:
+    gcfg: glow_m.GlowConfig
+    tcfg: Any                    # NFTrainConfig
+    params: Dict[str, Any]
+    img_size: int
+    temperature: float
+    epoch: int
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionRun:
+    backbone: Any                # NFBackbone
+    dp: Any                      # DiffusionPrior
+    tcfg: Any                    # DiffusionTrainConfig
+    params: Dict[str, Any]       # {'flow': ..., 'diffusion': ...}
+    img_size: int
+    temperature: float
+    epoch: int
+
+
+def load_glow_run(run_dir: str, epoch: Optional[int] = None) -> GlowRun:
+    from . import nf_trainer as nft
+    from .optim import make_optimizer
+
+    run_dir = resolve_run_dir(run_dir)
+    if epoch is None:
+        epoch = latest_epoch(run_dir, "gaussian")
+    arch = load_architecture(run_dir)
+    gcfg = glow_m.GlowConfig(
+        in_channels=int(arch["in_channels"]), levels=int(arch["L"]),
+        steps=int(arch["K"]),
+        coupling_width=int(arch.get("coupling_width", 512)),
+        learn_prior=bool(arch.get("learn_prior", True)),
+    )
+    tcfg = nft.NFTrainConfig(
+        n_bits=int(arch.get("n_bits", 5)),
+        compat_fixed_prior=bool(arch.get("fixed_prior", True)),
+    )
+    tx = make_optimizer("adam", 1e-3, fixed_prior=tcfg.compat_fixed_prior)
+    template = nft.init_train_state(0, gcfg, tcfg, tx)
+    state = restore_state(run_dir, "gaussian", epoch, template)
+    state = jax.tree.map(np.asarray, state)
+    return GlowRun(
+        gcfg=gcfg, tcfg=tcfg, params=state["params"],
+        img_size=int(arch["img_size"]),
+        temperature=float(arch.get("temperature", tcfg.temperature)),
+        epoch=int(epoch),
+    )
+
+
+def load_diffusion_run(
+    run_dir: str, epoch: Optional[int] = None, ddim: Optional[int] = None,
+    batch_sharding=None,
+) -> DiffusionRun:
+    from ..models.diffusion_prior import DiffusionPrior
+    from ..models.formaters import get_formater
+    from ..models.nf_backbone import NFBackbone
+    from . import diffusion_trainer as dt
+
+    run_dir = resolve_run_dir(run_dir)
+    if epoch is None:
+        epoch = latest_epoch(run_dir, "diffusion")
+    arch = load_architecture(run_dir, "diffusion_architecture.json")
+    fl = arch["flow"]
+    gcfg = glow_m.GlowConfig(
+        in_channels=int(fl["in_channels"]), levels=int(fl["L"]),
+        steps=int(fl["K"]), coupling_width=int(fl["coupling_width"]),
+        learn_prior=bool(fl.get("learn_prior", True)),
+        invconv_param=str(fl.get("invconv_param", "plu")),
+    )
+    img_size = int(fl["img_size"])
+    frozen = bool(arch.get("frozen", True))
+    backbone = NFBackbone(cfg=gcfg, img_size=img_size, frozen=frozen)
+    formater = get_formater(arch["formater"])(
+        L=gcfg.levels, in_channels=gcfg.in_channels, size=img_size)
+    dkw = dict(arch["diffusion_kwargs"])
+    if ddim is not None:
+        dkw["sampling_timesteps"] = ddim
+    ukw = dict(arch["unet_kwargs"])
+    if "dim_mults" in ukw:
+        ukw["dim_mults"] = tuple(ukw["dim_mults"])
+    dp = DiffusionPrior(formater=formater, unet_kwargs=ukw,
+                        diffusion_kwargs=dkw, batch_sharding=batch_sharding)
+    tcfg = dt.DiffusionTrainConfig(
+        n_bits=int(arch.get("n_bits", 5)),
+        temperature=float(arch.get("temperature", 1.0)),
+    )
+    tx = dt.make_two_group_optimizer(tcfg, frozen)
+    template = dt.init_train_state(
+        0, backbone, glow_m.init_glow(0, gcfg), dp, tx)
+    state = restore_state(run_dir, "diffusion", epoch, template)
+    state = jax.tree.map(np.asarray, state)
+    return DiffusionRun(
+        backbone=backbone, dp=dp, tcfg=tcfg, params=state["params"],
+        img_size=img_size, temperature=tcfg.temperature, epoch=int(epoch),
+    )

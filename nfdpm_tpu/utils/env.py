@@ -19,6 +19,38 @@ import sys
 import numpy as np
 
 
+DEFAULT_COMPILE_CACHE = os.path.expanduser("~/.nfdpm_tpu/jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Persistent XLA compilation cache shared by every CLI process.
+
+    First compiles of the diffusion sampler/interpolation chains cost
+    10-25 minutes over a tunneled TPU backend; without a persistent cache
+    every `run_*.py` / `tools/*.py` invocation pays that again (process ==
+    compile scope). One shared on-disk cache makes it a one-time cost.
+    Opt out with NFDPM_NO_COMPILE_CACHE=1 (e.g. for compile benchmarking);
+    override the location with NFDPM_COMPILE_CACHE=<dir>.
+    """
+    if os.environ.get("NFDPM_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if current:  # already configured (e.g. the test suite's cache) — keep it
+        return current
+    cache_dir = (cache_dir or os.environ.get("NFDPM_COMPILE_CACHE")
+                 or DEFAULT_COMPILE_CACHE)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError):  # read-only FS / very old jax
+        return None
+    return cache_dir
+
+
 def setup_logger(name: str = "base", log_file: str | None = None) -> logging.Logger:
     logger = logging.getLogger(name)
     if logger.handlers:

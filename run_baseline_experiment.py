@@ -31,12 +31,14 @@ def main(argv):
     from nfdpm_tpu.training.optim import make_optimizer
     from nfdpm_tpu.utils.config import load_config, make_run_dir, parse_metric
     from nfdpm_tpu.utils.env import (
+        enable_compilation_cache,
         log_environment,
         parse_train_eval_mode,
         set_seeds,
         setup_logger,
     )
 
+    enable_compilation_cache()
     cfg = load_config(cfg_path, overrides)
     # 'default' (bf16 MXU passes) | 'high' | 'highest' (fp32 parity runs)
     prec = cfg.select("model.training.matmul_precision", "default")

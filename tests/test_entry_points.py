@@ -123,3 +123,26 @@ def test_two_stage_workflow(workdir, monkeypatch):
     d_dir = os.path.join(workdir, "outputs", diff_run, "generated")
     d_samples = np.load(os.path.join(d_dir, "samples.npz"))["samples"]
     assert d_samples.shape == (9, 8, 8, 3) and d_samples.dtype == np.uint8
+
+    # interpolation strips on BOTH run kinds (tools/interpolate.py)
+    from tools.interpolate import main as interp_main
+
+    for run, n_lam in ((nf_run, 4), (diff_run, 3)):
+        interp_main(["--run-dir", os.path.join(workdir, "outputs", run),
+                     "--idx", "0", "2", "--steps", str(n_lam)])
+        strip = np.load(os.path.join(
+            workdir, "outputs", run, "interpolations", "interp_0_2.npz"))
+        # raw endpoints + n_lam interpolants
+        assert strip["strip"].shape == (n_lam + 2, 8, 8, 3)
+        assert strip["strip"].dtype == np.uint8
+        assert strip["lams"].shape == (n_lam,)
+    # Glow run: lambda=0/1 reconstruct the endpoints up to 5-bit
+    # re-quantization (-0..7) plus one floor-boundary flip (-8): the
+    # roundtripped code (y+0.5)*32 is exactly integral, so the tiny flow
+    # roundtrip error (~1e-6) flips the floor down on ~half the pixels.
+    # Per-pixel bound 15, expected mean 3.5 + 8*P(flip) <= 7.5.
+    g = np.load(os.path.join(workdir, "outputs", nf_run,
+                             "interpolations", "interp_0_2.npz"))["strip"]
+    assert np.all(np.abs(g[1].astype(int) - g[0].astype(int)) <= 15)
+    assert np.all(np.abs(g[-2].astype(int) - g[-1].astype(int)) <= 15)
+    assert np.mean(np.abs(g[1].astype(int) - g[0].astype(int))) < 8.5

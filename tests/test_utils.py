@@ -135,3 +135,20 @@ class TestHTMLReport:
         assert doc.count("class='grid'") == 2       # one grid per run
         assert "bpd[subset=test]" in doc and "config.yaml" in doc
         assert "data:image/png;base64," in doc
+
+
+class TestCompilationCache:
+    def test_respects_existing_config_and_optout(self, monkeypatch):
+        import jax
+
+        from nfdpm_tpu.utils.env import enable_compilation_cache
+
+        # conftest already configured the suite cache — the helper must
+        # return it unchanged, NOT clobber it with the default location
+        before = jax.config.jax_compilation_cache_dir
+        assert before  # set by conftest
+        assert enable_compilation_cache("/tmp/should_not_be_used") == before
+        assert jax.config.jax_compilation_cache_dir == before
+
+        monkeypatch.setenv("NFDPM_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None

@@ -30,104 +30,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _resolve_run_dir(name: str) -> str:
-    for cand in (name, os.path.join("outputs", name)):
-        if os.path.isdir(os.path.join(cand, "checkpoints")):
-            return cand
-    raise SystemExit(f"no run dir with checkpoints/ at '{name}' "
-                     f"or 'outputs/{name}'")
-
-
-def _build_glow(run_dir: str, epoch: int, mesh=None):
+def _build_glow(run_dir: str, epoch, mesh=None):
     import jax
 
-    from nfdpm_tpu.models import glow as glow_m
     from nfdpm_tpu.training import nf_trainer as nft
-    from nfdpm_tpu.training.checkpoint import load_architecture, restore_state
-    from nfdpm_tpu.training.optim import make_optimizer
+    from nfdpm_tpu.training.runload import load_glow_run
 
-    arch = load_architecture(run_dir)
-    gcfg = glow_m.GlowConfig(
-        in_channels=int(arch["in_channels"]), levels=int(arch["L"]),
-        steps=int(arch["K"]),
-        coupling_width=int(arch.get("coupling_width", 512)),
-        learn_prior=bool(arch.get("learn_prior", True)),
-    )
-    tcfg = nft.NFTrainConfig(
-        n_bits=int(arch.get("n_bits", 5)),
-        compat_fixed_prior=bool(arch.get("fixed_prior", True)),
-    )
-    tx = make_optimizer("adam", 1e-3, fixed_prior=tcfg.compat_fixed_prior)
-    template = nft.init_train_state(0, gcfg, tcfg, tx)
-    state = restore_state(run_dir, "gaussian", epoch, template)
-    import numpy as np
-    state = jax.tree.map(np.asarray, state)
+    run = load_glow_run(run_dir, epoch)
+    params = run.params
     if mesh is not None:
         from nfdpm_tpu.parallel import mesh as mesh_m
 
-        state = mesh_m.replicate(mesh, state)
+        params = mesh_m.replicate(mesh, params)
     else:
-        state = jax.device_put(state)
-    sample_fn = nft.make_sample_fn(gcfg, tcfg, int(arch["img_size"]),
+        params = jax.device_put(params)
+    sample_fn = nft.make_sample_fn(run.gcfg, run.tcfg, run.img_size,
                                    mesh=mesh)
-    return sample_fn, state["params"], float(
-        arch.get("temperature", tcfg.temperature))
+    return sample_fn, params, run.temperature, run.epoch
 
 
-def _build_diffusion(run_dir: str, epoch: int, ddim: int | None, mesh=None):
+def _build_diffusion(run_dir: str, epoch, ddim, mesh=None):
     import jax
 
-    from nfdpm_tpu.models import glow as glow_m
-    from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
-    from nfdpm_tpu.models.formaters import get_formater
-    from nfdpm_tpu.models.nf_backbone import NFBackbone
     from nfdpm_tpu.training import diffusion_trainer as dt
-    from nfdpm_tpu.training.checkpoint import load_architecture, restore_state
+    from nfdpm_tpu.training.runload import load_diffusion_run
 
-    arch = load_architecture(run_dir, "diffusion_architecture.json")
-    fl = arch["flow"]
-    gcfg = glow_m.GlowConfig(
-        in_channels=int(fl["in_channels"]), levels=int(fl["L"]),
-        steps=int(fl["K"]), coupling_width=int(fl["coupling_width"]),
-        learn_prior=bool(fl.get("learn_prior", True)),
-        invconv_param=str(fl.get("invconv_param", "plu")),
-    )
-    img_size = int(fl["img_size"])
-    backbone = NFBackbone(cfg=gcfg, img_size=img_size,
-                          frozen=bool(arch.get("frozen", True)))
-    formater = get_formater(arch["formater"])(
-        L=gcfg.levels, in_channels=gcfg.in_channels, size=img_size)
-    dkw = dict(arch["diffusion_kwargs"])
-    if ddim is not None:
-        dkw["sampling_timesteps"] = ddim
-    ukw = dict(arch["unet_kwargs"])
-    if "dim_mults" in ukw:
-        ukw["dim_mults"] = tuple(ukw["dim_mults"])
     batch_sharding = None
     if mesh is not None:
         from nfdpm_tpu.parallel import mesh as mesh_m
 
         batch_sharding = mesh_m.data_sharding(mesh)
-    dp = DiffusionPrior(formater=formater, unet_kwargs=ukw,
-                        diffusion_kwargs=dkw, batch_sharding=batch_sharding)
-    tcfg = dt.DiffusionTrainConfig(
-        n_bits=int(arch.get("n_bits", 5)),
-        temperature=float(arch.get("temperature", 1.0)),
-    )
-    tx = dt.make_two_group_optimizer(tcfg, bool(arch.get("frozen", True)))
-    template = dt.init_train_state(
-        0, backbone, glow_m.init_glow(0, gcfg), dp, tx)
-    state = restore_state(run_dir, "diffusion", epoch, template)
-    import numpy as np
-    state = jax.tree.map(np.asarray, state)
+    run = load_diffusion_run(run_dir, epoch, ddim,
+                             batch_sharding=batch_sharding)
+    params = run.params
     if mesh is not None:
         from nfdpm_tpu.parallel import mesh as mesh_m
 
-        state = mesh_m.replicate(mesh, state)
+        params = mesh_m.replicate(mesh, params)
     else:
-        state = jax.device_put(state)
-    sample_fn = dt.make_sample_fn(backbone, dp, tcfg, mesh=mesh)
-    return sample_fn, state["params"], tcfg.temperature
+        params = jax.device_put(params)
+    sample_fn = dt.make_sample_fn(run.backbone, run.dp, run.tcfg, mesh=mesh)
+    return sample_fn, params, run.temperature, run.epoch
 
 
 def main(argv=None):
@@ -158,16 +101,16 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from nfdpm_tpu.training.checkpoint import latest_epoch
+    from nfdpm_tpu.training.runload import detect_kind, resolve_run_dir
+    from nfdpm_tpu.utils.env import enable_compilation_cache
     from nfdpm_tpu.training.tracking import save_image_grid
 
-    run_dir = _resolve_run_dir(args.run_dir)
-    kinds = [(p, latest_epoch(run_dir, p)) for p in ("diffusion", "gaussian")]
-    kinds = [(p, e) for p, e in kinds if e is not None]
-    if not kinds:
-        raise SystemExit(f"no model_gaussian_*/model_diffusion_* checkpoints "
-                         f"in {run_dir}/checkpoints")
-    prefix, newest = kinds[0]
+    enable_compilation_cache()
+    try:
+        run_dir = resolve_run_dir(args.run_dir)
+        prefix, newest = detect_kind(run_dir)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
     epoch = args.epoch if args.epoch is not None else newest
 
     mesh = None
@@ -177,10 +120,11 @@ def main(argv=None):
         mesh = mesh_m.make_mesh()
 
     if prefix == "diffusion":
-        sample_fn, params, run_temp = _build_diffusion(
+        sample_fn, params, run_temp, epoch = _build_diffusion(
             run_dir, epoch, args.ddim, mesh=mesh)
     else:
-        sample_fn, params, run_temp = _build_glow(run_dir, epoch, mesh=mesh)
+        sample_fn, params, run_temp, epoch = _build_glow(
+            run_dir, epoch, mesh=mesh)
     temperature = args.temperature if args.temperature is not None else run_temp
 
     out_dir = args.out or os.path.join(run_dir, "generated")
