@@ -98,6 +98,67 @@ def load_glow_run(run_dir: str, epoch: Optional[int] = None) -> GlowRun:
     )
 
 
+def _diffusion_arch_from_config(run_dir: str) -> Dict[str, Any]:
+    """Fallback for runs that predate diffusion_architecture.json: rebuild
+    the architecture dict from the run's persisted config.yaml (flow arch
+    via the pretrain run's architecture.json, mirroring
+    run_diffusion_prior_experiment.py's model assembly)."""
+    import yaml
+
+    from ..utils.config import Config
+
+    with open(os.path.join(run_dir, "config.yaml")) as f:
+        cfg = Config(yaml.safe_load(f))
+    nf_cfg = cfg.model.normalizing_flow
+    img_size = int(cfg.data.img_size)
+    in_channels = 1 if cfg.data.name == "MNIST" else 3
+    if nf_cfg.init_nf.mode == "pretrain":
+        # sibling run dir under the same outputs/ root
+        pre = os.path.join(os.path.dirname(os.path.abspath(run_dir)),
+                           nf_cfg.init_nf.pretrain.dir)
+        fa = load_architecture(pre)
+        flow = {
+            "L": int(fa["L"]), "K": int(fa["K"]),
+            "in_channels": int(fa["in_channels"]),
+            "coupling_width": int(fa.get("coupling_width", 512)),
+            "learn_prior": bool(fa.get("learn_prior", True)),
+            "invconv_param": str(fa.get("invconv_param", "plu")),
+            "img_size": img_size,
+        }
+    else:
+        sc = nf_cfg.init_nf.scratch
+        flow = {
+            "L": int(sc.L), "K": int(sc.K), "in_channels": in_channels,
+            "coupling_width": int(sc.get("coupling_width", 512)),
+            "learn_prior": True, "invconv_param": "plu",
+            "img_size": img_size,
+        }
+    u = cfg.model.unet
+    d = cfg.model.diffusion
+    return {
+        "kind": "diffusion_prior",
+        "flow": flow,
+        "formater": str(nf_cfg.latent_formater),
+        "unet_kwargs": dict(
+            dim=int(u.dim), dim_mults=list(u.dim_mults),
+            resnet_block_groups=int(u.resnet_block_groups),
+            learned_sinusoidal_cond=bool(u.learned_sinusoidal_cond),
+            random_fourier_features=bool(u.random_fourier_features),
+            learned_sinusoidal_dim=int(u.learned_sinusoidal_dim),
+        ),
+        "diffusion_kwargs": dict(
+            timesteps=int(d.timesteps),
+            sampling_timesteps=int(d.sampling_timesteps),
+            loss_type=str(d.loss_type), beta_schedule=str(d.beta_schedule),
+            ddim_sampling_eta=float(d.ddim_sampling_eta),
+            scan_unroll=int(cfg.select("model.diffusion.scan_unroll", 1)),
+        ),
+        "frozen": bool(nf_cfg.freeze),
+        "n_bits": int(cfg.model.training.n_bits),
+        "temperature": float(cfg.model.training.temperature),
+    }
+
+
 def load_diffusion_run(
     run_dir: str, epoch: Optional[int] = None, ddim: Optional[int] = None,
     batch_sharding=None,
@@ -110,7 +171,10 @@ def load_diffusion_run(
     run_dir = resolve_run_dir(run_dir)
     if epoch is None:
         epoch = latest_epoch(run_dir, "diffusion")
-    arch = load_architecture(run_dir, "diffusion_architecture.json")
+    try:
+        arch = load_architecture(run_dir, "diffusion_architecture.json")
+    except FileNotFoundError:
+        arch = _diffusion_arch_from_config(run_dir)
     fl = arch["flow"]
     gcfg = glow_m.GlowConfig(
         in_channels=int(fl["in_channels"]), levels=int(fl["L"]),

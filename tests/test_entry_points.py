@@ -124,6 +124,20 @@ def test_two_stage_workflow(workdir, monkeypatch):
     d_samples = np.load(os.path.join(d_dir, "samples.npz"))["samples"]
     assert d_samples.shape == (9, 8, 8, 3) and d_samples.dtype == np.uint8
 
+    # legacy diffusion runs (no diffusion_architecture.json) reconstruct
+    # the architecture from config.yaml + the pretrain run's architecture
+    arch_json = os.path.join(workdir, "outputs", diff_run,
+                             "diffusion_architecture.json")
+    os.rename(arch_json, arch_json + ".bak")
+    try:
+        gen_main(["--run-dir", os.path.join(workdir, "outputs", diff_run),
+                  "--n", "4", "--batch", "8", "--ddim", "2",
+                  "--out", os.path.join(workdir, "legacy_gen")])
+        legacy = np.load(os.path.join(workdir, "legacy_gen", "samples.npz"))
+        assert legacy["samples"].shape == (4, 8, 8, 3)
+    finally:
+        os.rename(arch_json + ".bak", arch_json)
+
     # interpolation strips on BOTH run kinds (tools/interpolate.py)
     from tools.interpolate import main as interp_main
 
