@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..training.checkpoint import load_architecture, restore_state
+from ..training.checkpoint import load_architecture, restore_params
 from . import glow as glow_m
 
 
@@ -60,12 +60,6 @@ def load_pretrained_flow(
     """Rebuild a flow from a baseline run's architecture.json + checkpoint
     (run_diffusion_prior_experiment.py:45-58 semantics). Returns the backbone
     and the flow params."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ..training.optim import make_optimizer
-    from . import prior as prior_m
-
     arch = load_architecture(run_dir)
     cfg = glow_m.GlowConfig(
         in_channels=int(arch["in_channels"]),
@@ -73,22 +67,14 @@ def load_pretrained_flow(
         steps=int(arch["K"]),
         coupling_width=int(arch.get("coupling_width", 512)),
         learn_prior=bool(arch.get("learn_prior", True)),
+        invconv_param=str(arch.get("invconv_param", "plu")),
     )
-    # template matching the NF trainer's saved state tree (the opt_state
-    # structure depends on whether the prior was optimizer-excluded)
-    tx = make_optimizer("adam", 1e-3,
-                        fixed_prior=bool(arch.get("fixed_prior", True)))
-    params = {
-        "flow": glow_m.init_glow(0, cfg),
-        "prior": prior_m.init_gaussian_prior(
-            (2 ** (cfg.levels + 1)) * cfg.in_channels, cfg.learn_prior
-        ),
-    }
-    template = {"params": params, "opt_state": tx.init(params),
-                "step": jnp.zeros((), jnp.int32)}
-    state = restore_state(run_dir, "gaussian", epoch, template)
+    # metadata-templated params-only restore: no optimizer reconstruction
+    # (the saved opt_state structure varies with optimizer type), and any
+    # mesh topology the checkpoint was saved under restores cleanly
+    params = restore_params(run_dir, "gaussian", epoch)
     backbone = NFBackbone(cfg=cfg, img_size=int(arch["img_size"]), frozen=frozen)
     # strip the checkpoint's device placement (it may reference a different
     # mesh than the caller's); host arrays re-place cleanly downstream
-    flow_params = jax.tree.map(np.asarray, state["params"]["flow"])
+    flow_params = jax.tree.map(np.asarray, params["flow"])
     return backbone, flow_params

@@ -89,6 +89,28 @@ def restore_state(run_dir: str, prefix: str, epoch: int, template: Any) -> Any:
         return ckptr.restore(path, abstract)
 
 
+def restore_params(run_dir: str, prefix: str, epoch: int) -> Any:
+    """Restore ONLY the `params` subtree, templated from the checkpoint's
+    own shape/dtype metadata.
+
+    Unlike `restore_state` this needs no optimizer reconstruction (the
+    opt_state structure varies with optimizer type / frozen-flow groups and
+    is not recorded in architecture.json), and the explicit default-device
+    sharding on the abstract leaves means checkpoints saved under ANY mesh
+    topology restore cleanly on the current host. This is the right call
+    for inference-only consumers (generation/interpolation tools)."""
+    wait_for_saves()
+    path = os.path.abspath(
+        os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata.tree
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
+            meta)
+        return ckptr.restore(path, abstract)["params"]
+
+
 def latest_epoch(run_dir: str, prefix: str) -> Optional[int]:
     d = _ckpt_dir(run_dir)
     pat = re.compile(rf"model_{prefix}_(\d+)$")

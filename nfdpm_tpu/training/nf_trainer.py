@@ -342,6 +342,9 @@ def train(
                 "learn_prior": cfg.learn_prior,
                 "n_bits": tcfg.n_bits,
                 "fixed_prior": tcfg.compat_fixed_prior,
+                "temperature": tcfg.temperature,
+                "optimizer": tcfg.optimizer,
+                "invconv_param": cfg.invconv_param,
             },
         )
 

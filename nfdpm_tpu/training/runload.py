@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from ..models import glow as glow_m
-from .checkpoint import latest_epoch, load_architecture, restore_state
+from .checkpoint import latest_epoch, load_architecture, restore_params
 
 
 def resolve_run_dir(name: str) -> str:
@@ -68,33 +68,57 @@ class DiffusionRun:
     epoch: int
 
 
+def _require_epoch(run_dir: str, prefix: str,
+                   epoch: Optional[int]) -> int:
+    if epoch is None:
+        epoch = latest_epoch(run_dir, prefix)
+    if epoch is None:
+        raise FileNotFoundError(
+            f"no model_{prefix}_* checkpoints in {run_dir}/checkpoints")
+    return int(epoch)
+
+
+def _config_temperature(run_dir: str) -> Optional[float]:
+    """model.training.temperature from the run's persisted config.yaml —
+    fallback for architecture files that predate the temperature field."""
+    path = os.path.join(run_dir, "config.yaml")
+    if not os.path.exists(path):
+        return None
+    import yaml
+
+    from ..utils.config import Config
+
+    t = Config(yaml.safe_load(open(path))).select("model.training.temperature")
+    return float(t) if t is not None else None
+
+
 def load_glow_run(run_dir: str, epoch: Optional[int] = None) -> GlowRun:
     from . import nf_trainer as nft
-    from .optim import make_optimizer
 
     run_dir = resolve_run_dir(run_dir)
-    if epoch is None:
-        epoch = latest_epoch(run_dir, "gaussian")
+    epoch = _require_epoch(run_dir, "gaussian", epoch)
     arch = load_architecture(run_dir)
     gcfg = glow_m.GlowConfig(
         in_channels=int(arch["in_channels"]), levels=int(arch["L"]),
         steps=int(arch["K"]),
         coupling_width=int(arch.get("coupling_width", 512)),
         learn_prior=bool(arch.get("learn_prior", True)),
+        invconv_param=str(arch.get("invconv_param", "plu")),
     )
     tcfg = nft.NFTrainConfig(
         n_bits=int(arch.get("n_bits", 5)),
         compat_fixed_prior=bool(arch.get("fixed_prior", True)),
     )
-    tx = make_optimizer("adam", 1e-3, fixed_prior=tcfg.compat_fixed_prior)
-    template = nft.init_train_state(0, gcfg, tcfg, tx)
-    state = restore_state(run_dir, "gaussian", epoch, template)
-    state = jax.tree.map(np.asarray, state)
+    params = jax.tree.map(np.asarray, restore_params(run_dir, "gaussian", epoch))
+    temperature = arch.get("temperature")
+    if temperature is None:
+        temperature = _config_temperature(run_dir)
     return GlowRun(
-        gcfg=gcfg, tcfg=tcfg, params=state["params"],
+        gcfg=gcfg, tcfg=tcfg, params=params,
         img_size=int(arch["img_size"]),
-        temperature=float(arch.get("temperature", tcfg.temperature)),
-        epoch=int(epoch),
+        temperature=float(tcfg.temperature if temperature is None
+                          else temperature),
+        epoch=epoch,
     )
 
 
@@ -169,8 +193,7 @@ def load_diffusion_run(
     from . import diffusion_trainer as dt
 
     run_dir = resolve_run_dir(run_dir)
-    if epoch is None:
-        epoch = latest_epoch(run_dir, "diffusion")
+    epoch = _require_epoch(run_dir, "diffusion", epoch)
     try:
         arch = load_architecture(run_dir, "diffusion_architecture.json")
     except FileNotFoundError:
@@ -199,12 +222,9 @@ def load_diffusion_run(
         n_bits=int(arch.get("n_bits", 5)),
         temperature=float(arch.get("temperature", 1.0)),
     )
-    tx = dt.make_two_group_optimizer(tcfg, frozen)
-    template = dt.init_train_state(
-        0, backbone, glow_m.init_glow(0, gcfg), dp, tx)
-    state = restore_state(run_dir, "diffusion", epoch, template)
-    state = jax.tree.map(np.asarray, state)
+    params = jax.tree.map(np.asarray,
+                          restore_params(run_dir, "diffusion", epoch))
     return DiffusionRun(
-        backbone=backbone, dp=dp, tcfg=tcfg, params=state["params"],
-        img_size=img_size, temperature=tcfg.temperature, epoch=int(epoch),
+        backbone=backbone, dp=dp, tcfg=tcfg, params=params,
+        img_size=img_size, temperature=tcfg.temperature, epoch=epoch,
     )

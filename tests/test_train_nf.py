@@ -240,3 +240,23 @@ def test_async_checkpoint_save_restore(tmp_path):
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         state2, restored2)
+
+
+def test_restore_params_is_optimizer_agnostic(tmp_path):
+    """restore_params must recover the params subtree from the checkpoint's
+    own metadata — with NO optimizer reconstruction. A state saved under an
+    optimizer whose opt_state structure is not derivable from
+    architecture.json (adamw here, vs the adam that templates assumed) must
+    still load (inference-only consumers: runload/generation/interpolation)."""
+    import optax
+
+    from nfdpm_tpu.training.checkpoint import restore_params, save_state
+
+    params = {"flow": {"w": jnp.arange(4.0)}, "prior": {"b": jnp.ones(2)}}
+    tx = optax.adamw(1e-3)  # extra weight-decay state vs adam
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.zeros((), jnp.int32)}
+    save_state(str(tmp_path), "gaussian", 3, state)
+    out = restore_params(str(tmp_path), "gaussian", 3)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), out, params))

@@ -152,3 +152,13 @@ class TestCompilationCache:
 
         monkeypatch.setenv("NFDPM_NO_COMPILE_CACHE", "1")
         assert enable_compilation_cache() is None
+
+    def test_report_label_dedup(self, tmp_path):
+        """Two run dirs sharing a basename get parent-qualified labels."""
+        from tools.report import run_labels
+
+        (tmp_path / "outputs" / "exp").mkdir(parents=True)
+        (tmp_path / "backup" / "exp").mkdir(parents=True)
+        labels = run_labels([str(tmp_path / "outputs" / "exp"),
+                             str(tmp_path / "backup" / "exp")])
+        assert labels == ["outputs/exp", "backup/exp"]

@@ -97,6 +97,8 @@ def main(argv=None):
     ap.add_argument("--no-npz", action="store_true",
                     help="skip samples.npz (grid preview only)")
     args = ap.parse_args(argv)
+    if args.n < 1 or args.batch < 1:
+        ap.error("--n and --batch must be >= 1")
 
     import jax
     import numpy as np

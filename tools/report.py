@@ -48,11 +48,25 @@ def series_key(rec):
     return f"{rec['name']}[{suffix}]" if suffix else rec["name"]
 
 
+def run_labels(run_dirs):
+    """Unique display label per run dir: basename, disambiguated with the
+    parent dir when two runs share a basename (e.g. outputs/x vs backup/x)."""
+    bases = [os.path.basename(rd.rstrip("/")) for rd in run_dirs]
+    labels = []
+    for rd, base in zip(run_dirs, bases):
+        if bases.count(base) > 1:
+            parent = os.path.basename(os.path.dirname(
+                os.path.abspath(rd.rstrip("/"))))
+            labels.append(f"{parent}/{base}")
+        else:
+            labels.append(base)
+    return labels
+
+
 def collect_series(run_dirs):
     """{metric_key: {run_label: [(x, value), ...]}} for scalar records."""
     out = defaultdict(dict)
-    for rd in run_dirs:
-        label = os.path.basename(rd.rstrip("/"))
+    for rd, label in zip(run_dirs, run_labels(run_dirs)):
         per_key = defaultdict(list)
         for i, rec in enumerate(load_stream(rd)):
             v = rec.get("value")
@@ -129,7 +143,7 @@ def build_html(run_dirs, max_images):
 
     # final-value summary table (last record per metric per run)
     series = collect_series(run_dirs)
-    labels = [os.path.basename(r.rstrip("/")) for r in run_dirs]
+    labels = run_labels(run_dirs)
     parts.append("<h2>Final values</h2><table><tr><th>metric</th>")
     parts.extend(f"<th>{html.escape(l)}</th>" for l in labels)
     parts.append("</tr>")
@@ -147,8 +161,7 @@ def build_html(run_dirs, max_images):
                      f"src='data:image/png;base64,"
                      f"{chart_png_b64(key, series[key])}'>")
 
-    for rd in run_dirs:
-        label = os.path.basename(rd.rstrip("/"))
+    for rd, label in zip(run_dirs, run_labels(run_dirs)):
         parts.append(f"<h2>{html.escape(label)}</h2>")
         imgs = run_images(rd, max_images)
         if imgs:
