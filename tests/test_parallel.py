@@ -387,3 +387,29 @@ def test_fsdp_partitions_device_memory():
     # on device 0 (2.16x). Production widths (256-512) shard a larger
     # fraction. Assert the 2x floor.
     assert fsdp < rep / 2.0, (fsdp, rep)
+
+
+def test_restore_params_from_mesh_sharded_checkpoint(tmp_path):
+    """restore_params on a checkpoint written with its device shardings
+    intact (FSDP-partitioned leaves over a (4,2) mesh) must place the
+    params on the default device, bit-identical — the inference-tool path
+    (runload) never knows the training topology."""
+    from nfdpm_tpu.training.checkpoint import restore_params, save_state
+
+    tx = make_optimizer("adam", 1e-3)
+    mesh = mesh_m.make_mesh(n_data=4, n_model=2)
+    with mesh:
+        state = nft.shard_nf_state(
+            mesh, tx, nft.init_train_state(0, CFG_FSDP, TCFG, tx), fsdp=True)
+        # save the live sharded tree (NO np.asarray host round-trip)
+        save_state(str(tmp_path), "gaussian", 2, state)
+        expect = jax.tree.map(np.asarray, state["params"])
+
+    out = restore_params(str(tmp_path), "gaussian", 2)
+    # orbax's metadata tree renders list nodes as tuples — compare leaves
+    # (downstream consumers only iterate, so tuple-vs-list is benign)
+    out_leaves = jax.tree.leaves(out)
+    exp_leaves = jax.tree.leaves(expect)
+    assert len(out_leaves) == len(exp_leaves)
+    for a, b in zip(out_leaves, exp_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
