@@ -115,7 +115,7 @@ def img_b64(path):
 def run_images(run_dir, max_images):
     """Newest PNGs from results/ and generated/ (sample grids)."""
     paths = []
-    for sub in ("results", "generated"):
+    for sub in ("results", "generated", "interpolations"):
         paths.extend(glob.glob(os.path.join(run_dir, sub, "*.png")))
     paths.sort(key=os.path.getmtime, reverse=True)
     return paths[:max_images]
