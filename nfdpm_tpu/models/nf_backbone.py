@@ -18,10 +18,7 @@ import dataclasses
 from typing import Any, Dict, List, Tuple
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
-from ..training.checkpoint import load_architecture, restore_params
 from . import glow as glow_m
 
 
@@ -60,21 +57,10 @@ def load_pretrained_flow(
     """Rebuild a flow from a baseline run's architecture.json + checkpoint
     (run_diffusion_prior_experiment.py:45-58 semantics). Returns the backbone
     and the flow params."""
-    arch = load_architecture(run_dir)
-    cfg = glow_m.GlowConfig(
-        in_channels=int(arch["in_channels"]),
-        levels=int(arch["L"]),
-        steps=int(arch["K"]),
-        coupling_width=int(arch.get("coupling_width", 512)),
-        learn_prior=bool(arch.get("learn_prior", True)),
-        invconv_param=str(arch.get("invconv_param", "plu")),
-    )
-    # metadata-templated params-only restore: no optimizer reconstruction
-    # (the saved opt_state structure varies with optimizer type), and any
-    # mesh topology the checkpoint was saved under restores cleanly
-    params = restore_params(run_dir, "gaussian", epoch)
-    backbone = NFBackbone(cfg=cfg, img_size=int(arch["img_size"]), frozen=frozen)
-    # strip the checkpoint's device placement (it may reference a different
-    # mesh than the caller's); host arrays re-place cleanly downstream
-    flow_params = jax.tree.map(np.asarray, params["flow"])
-    return backbone, flow_params
+    # single source of truth for arch->config->params reconstruction
+    from ..training.runload import load_glow_run
+
+    run = load_glow_run(run_dir, epoch)
+    backbone = NFBackbone(cfg=run.gcfg, img_size=run.img_size, frozen=frozen)
+    # host arrays (runload normalizes placement); re-place cleanly downstream
+    return backbone, run.params["flow"]
