@@ -168,6 +168,26 @@ class TestDatasetReaders:
             ds.images[0, :, :, 0], flat[0][:1024].reshape(32, 32)
         )
 
+        # first read wrote the NHWC memmap cache; the second load maps it
+        # (instant startup for the 3.7 GB train split) with equal bytes,
+        # and the batch gather reads straight from the mapping
+        import os as _os
+
+        assert _os.path.exists(tmp_path / "imagenet32" / "val_nhwc_u8.npy")
+        ds2 = read_imagenet(str(tmp_path), "val", 32)
+        assert isinstance(ds2.images, np.memmap)
+        np.testing.assert_array_equal(np.asarray(ds2.images), ds.images)
+        np.testing.assert_array_equal(ds2.labels, ds.labels)
+        from nfdpm_tpu.data.native import batch_gather_normalize
+
+        got = batch_gather_normalize(ds2.images, np.array([2, 0], np.int64))
+        np.testing.assert_allclose(
+            got, ds.images[[2, 0]].astype(np.float32) / 255.0)
+
+        # opt-out stays in memory and ignores the cache
+        ds3 = read_imagenet(str(tmp_path), "val", 32, memmap=False)
+        assert not isinstance(ds3.images, np.memmap)
+
     def test_celeba_roundtrip(self, tmp_path):
         from PIL import Image
 
