@@ -130,13 +130,13 @@ def read_imagenet(root: str, split: str, res: int = 32,
     batch files costs minutes and 2x peak RSS every run, while the memmap
     path starts instantly and lets the page cache manage residency (the
     C++ batch gather reads straight from the mapping). Opt out with
-    `memmap=False` or NFDPM_IMAGENET_MEMMAP=0; cache-dir write failures
+    `memmap=False` or NFDPM_DATA_MEMMAP=0; cache-dir write failures
     fall back to the in-memory path silently."""
     assert res in (32, 64)
     assert split in ("train", "val")
     base = os.path.join(root, f"imagenet{res}")
     use_mmap = (memmap if memmap is not None
-                else os.environ.get("NFDPM_IMAGENET_MEMMAP", "1") != "0")
+                else os.environ.get("NFDPM_DATA_MEMMAP", "1") != "0")
     img_cache = os.path.join(base, f"{split}_nhwc_u8.npy")
     lbl_cache = os.path.join(base, f"{split}_labels_i64.npy")
     if use_mmap and os.path.exists(img_cache) and os.path.exists(lbl_cache):
@@ -173,12 +173,19 @@ def read_imagenet(root: str, split: str, res: int = 32,
 # ---------------------------------------------------------------------------
 
 def read_celeba(
-    root: str, splits: Sequence[int], img_size: Optional[int] = None, limit: Optional[int] = None
+    root: str, splits: Sequence[int], img_size: Optional[int] = None,
+    limit: Optional[int] = None, memmap: Optional[bool] = None,
 ) -> ArrayDataset:
     """Partition file semantics per data/utils.py:15-30 and dataset.py:118-131:
     split 0=train, 1=val, 2=test. Images are decoded once (PIL) and, when
     `img_size` is given, resized bilinear to (img_size, img_size) at load so
-    the training pipeline stays pure-array."""
+    the training pipeline stays pure-array.
+
+    Like read_imagenet, the decoded tensor is cached as one .npy and
+    memory-mapped on later loads: 162k train JPEGs decode serially in PIL
+    (minutes on a small host, ~9 GB at 128x128) but the cache maps
+    instantly, keyed by splits/img_size/limit. NFDPM_DATA_MEMMAP=0 or
+    memmap=False opts out; unwritable dataset dirs fall back in-memory."""
     import csv
 
     from PIL import Image
@@ -187,6 +194,14 @@ def read_celeba(
     part_csv = os.path.join(root, "celeba", "list_eval_partition.csv")
     if not os.path.exists(part_csv):
         raise FileNotFoundError(f"CelebA partition csv not found: {part_csv}")
+    use_mmap = (memmap if memmap is not None
+                else os.environ.get("NFDPM_DATA_MEMMAP", "1") != "0")
+    key = f"s{''.join(map(str, sorted(splits)))}_r{img_size or 0}_l{limit or 0}"
+    img_cache = os.path.join(root, "celeba", f"decoded_{key}_u8.npy")
+    if use_mmap and os.path.exists(img_cache):
+        images = np.load(img_cache, mmap_mode="r")
+        return ArrayDataset(images, np.zeros((len(images),), np.int64),
+                            name="celeba")
     names: List[str] = []
     with open(part_csv) as f:
         for row in csv.DictReader(f):
@@ -201,6 +216,12 @@ def read_celeba(
             im = im.resize((img_size, img_size), Image.BILINEAR)
         out.append(np.asarray(im, np.uint8))
     images = np.stack(out) if out else np.zeros((0, img_size or 218, img_size or 178, 3), np.uint8)
+    if use_mmap and len(images):
+        try:
+            np.save(img_cache, images)
+            images = np.load(img_cache, mmap_mode="r")
+        except OSError:
+            pass
     return ArrayDataset(images, np.zeros((len(images),), np.int64), name="celeba")
 
 

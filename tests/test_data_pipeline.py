@@ -211,6 +211,17 @@ class TestDatasetReaders:
         assert train.images.shape == (2, 32, 32, 3)
         assert test.images.shape == (1, 32, 32, 3)
 
+        # memmap cache: keyed by split+size (train/test caches coexist),
+        # second read maps with identical bytes
+        assert (tmp_path / "celeba" / "decoded_s0_r32_l0_u8.npy").exists()
+        assert (tmp_path / "celeba" / "decoded_s2_r32_l0_u8.npy").exists()
+        train2 = read_celeba(str(tmp_path), [0], img_size=32)
+        assert isinstance(train2.images, np.memmap)
+        np.testing.assert_array_equal(np.asarray(train2.images), train.images)
+        # a different img_size misses the cache and re-decodes
+        big = read_celeba(str(tmp_path), [0], img_size=64)
+        assert big.images.shape == (2, 64, 64, 3)
+
 
 class TestMnistTransformQuirk:
     """The reference trains MNIST on Pad(2)-padded digits but evaluates on
