@@ -143,11 +143,13 @@ def make_custom_stats(
     logger, data_root: str, data_name: str, split: str, res: int,
     mode: str, model_name: str, batch_size: int = 64,
     stats_dir: str = fid_m.DEFAULT_STATS_DIR, limit: Optional[int] = None,
+    mesh=None,
 ) -> str:
     feature_fn = get_feature_extractor(model_name)
     images = load_dataset_images(data_name, data_root, split, res, limit)
     feats = fid_m.extract_features(
-        images, feature_fn, FEATURE_RES[model_name], mode, batch_size
+        images, feature_fn, FEATURE_RES[model_name], mode, batch_size,
+        mesh=mesh,
     )
     path = fid_m.save_stats(feats, data_name, mode, model_name, split, res, stats_dir)
     if logger:
@@ -158,7 +160,7 @@ def make_custom_stats(
 def precompute_statistics(
     logger, data_root: str, data_name: str, dataset_split: str, dataset_res: int,
     mode: str, model_name: str, stats_dir: str = fid_m.DEFAULT_STATS_DIR,
-    limit: Optional[int] = None,
+    limit: Optional[int] = None, mesh=None,
 ) -> None:
     """Skip-if-exists semantics (compute.py:238-251)."""
     if fid_m.stats_exist(data_name, mode, model_name, dataset_split, dataset_res, stats_dir):
@@ -166,7 +168,8 @@ def precompute_statistics(
             logger.info("Precomputed stats already exist for the dataset.")
         return
     make_custom_stats(logger, data_root, data_name, dataset_split, dataset_res,
-                      mode, model_name, stats_dir=stats_dir, limit=limit)
+                      mode, model_name, stats_dir=stats_dir, limit=limit,
+                      mesh=mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +181,7 @@ def calculate_fid_kid(
     data_name: str, dataset_res: int, num_gen: int, dataset_split: str,
     batch_size: int, score_type: str, mode: str, model_name: str = "inception_v3",
     stats_dir: str = fid_m.DEFAULT_STATS_DIR, gen_batch_size: Optional[int] = None,
+    mesh=None,
 ) -> float:
     """`gen_batch_size` (default = batch_size) sets how many images each
     sampler call produces — at FID scale the DDPM sampler chain amortizes
@@ -200,7 +204,8 @@ def calculate_fid_kid(
         n = min(gen_batch_size, remaining)
         imgs = gen(n)
         feats.append(fid_m.extract_features(
-            imgs, feature_fn, FEATURE_RES[model_name], mode, batch_size
+            imgs, feature_fn, FEATURE_RES[model_name], mode, batch_size,
+            mesh=mesh,
         ))
         remaining -= n
     gen_feats = np.concatenate(feats)

@@ -95,20 +95,47 @@ def extract_features(
     size: int,
     mode: str,
     batch_size: int = 64,
+    mesh=None,
 ) -> np.ndarray:
     """uint8 [N, H, W, C] -> [N, D] features (resize -> extractor).
 
     The resized images are fed to the feature net as float32 in [0, 255]
     WITHOUT re-quantizing to uint8 — clean-fid passes the resizer's float
     output straight to Inception (its ResizeDataset returns float tensors),
-    so quantizing here would deviate from clean-fid's exact values."""
+    so quantizing here would deviate from clean-fid's exact values.
+
+    With `mesh`, each batch is placed sharded P("data") so the jitted
+    feature net runs data-parallel over all mesh devices (GSPMD partitions
+    from the input sharding) — the Inception/CLIP forward dominates
+    full-dataset stats precompute at 50k-1.28M images. Final partial
+    batches are padded to the compiled batch and trimmed after."""
+    import jax
     import jax.numpy as jnp
+
+    sharding = None
+    if mesh is not None:
+        from ..parallel import mesh as mesh_m
+
+        n_data = mesh.shape.get("data", 1)
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the mesh data "
+                f"axis ({n_data}) for sharded feature extraction")
+        sharding = mesh_m.data_sharding(mesh)
 
     feats = []
     for i in range(0, len(images), batch_size):
         chunk = _to_rgb(images[i: i + batch_size])
         resized = resize_batch(chunk, size, mode).astype(np.float32)
-        feats.append(np.asarray(feature_fn(jnp.asarray(resized))))
+        n_valid = len(resized)
+        if sharding is not None:
+            if n_valid < batch_size:  # pad: sharding needs the full batch
+                pad = np.repeat(resized[-1:], batch_size - n_valid, axis=0)
+                resized = np.concatenate([resized, pad], axis=0)
+            x = jax.device_put(resized, sharding)
+        else:
+            x = jnp.asarray(resized)
+        feats.append(np.asarray(feature_fn(x))[:n_valid])
     return np.concatenate(feats, axis=0)
 
 

@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--stats_dir", default=fid_m.DEFAULT_STATS_DIR)
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of source images (smoke runs)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the feature-net forward over all local "
+                        "devices (Inception/CLIP dominate full-dataset "
+                        "precompute at 50k-1.28M images)")
     args = p.parse_args(argv)
 
     from ..utils.env import enable_compilation_cache
@@ -49,6 +53,12 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("precompute_stats")
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import mesh as mesh_m
+
+        mesh = mesh_m.make_mesh()
 
     if args.action == "clean":
         fid_m.remove_all_stats(args.stats_dir)
@@ -64,7 +74,7 @@ def main(argv=None):
                     logger.info(f"precompute {name} {split}@{res} {mode} {model}")
                     precompute_statistics(
                         logger, args.data_root, name, split, res, mode, model,
-                        stats_dir=args.stats_dir, limit=args.limit,
+                        stats_dir=args.stats_dir, limit=args.limit, mesh=mesh,
                     )
 
 

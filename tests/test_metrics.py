@@ -340,3 +340,30 @@ class TestFloatFeatureInput:
         f_u8 = np.asarray(fn(jnp.asarray(np.clip(resized, 0, 255).astype(np.uint8))))
         # resize produces fractional values, so the two must differ
         assert np.abs(f_float - f_u8).max() > 0
+
+
+class TestShardedFeatureExtraction:
+    def test_mesh_sharded_features_match_unsharded(self):
+        """extract_features(mesh=...) shards the feature-net forward
+        P("data") over the 8-device mesh; features must match the
+        single-device path bit-for-bit, including the padded+trimmed final
+        partial batch (n=11 with batch 8)."""
+        import jax
+        import pytest
+
+        from nfdpm_tpu.metrics.compute import get_feature_extractor
+        from nfdpm_tpu.parallel import mesh as mesh_m
+
+        rng = np.random.default_rng(1)
+        imgs = rng.integers(0, 256, (11, 16, 16, 3), dtype=np.uint8)
+        fn = get_feature_extractor("inception_v3")
+        mesh = mesh_m.make_mesh()
+        ref = fid_m.extract_features(imgs, fn, 299, "clean", batch_size=8)
+        shd = fid_m.extract_features(imgs, fn, 299, "clean", batch_size=8,
+                                     mesh=mesh)
+        assert shd.shape == ref.shape == (11, 2048)
+        np.testing.assert_allclose(shd, ref, rtol=1e-6, atol=1e-6)
+
+        with pytest.raises(ValueError, match="must divide"):
+            fid_m.extract_features(imgs, fn, 299, "clean", batch_size=6,
+                                   mesh=mesh)
