@@ -236,6 +236,7 @@ def evaluate_model(
     stats_dir: str = fid_m.DEFAULT_STATS_DIR,
     logger=None,
     gen_batch_size: Optional[int] = None,
+    mesh=None,
 ) -> Dict[str, Any]:
     """One generation pass serves all requested metrics via Storage."""
     metrics: Dict[str, Any] = {}
@@ -256,7 +257,7 @@ def evaluate_model(
         key = f"FID{'_clean' if mode == 'clean' else ''}_{model_name.split('_')[0]}"
         metrics[key] = calculate_fid_kid(
             gen, data_name, dataset_res, num_gen, dataset_split, batch_size,
-            "FID", mode, model_name, stats_dir, gen_batch_size,
+            "FID", mode, model_name, stats_dir, gen_batch_size, mesh=mesh,
         )
         gen.storage.set_ready_for_usage()
         if logger:
@@ -267,7 +268,7 @@ def evaluate_model(
         key = f"KID{'_clean' if mode == 'clean' else ''}_{model_name.split('_')[0]}"
         metrics[key] = calculate_fid_kid(
             gen, data_name, dataset_res, num_gen, dataset_split, batch_size,
-            "KID", mode, model_name, stats_dir, gen_batch_size,
+            "KID", mode, model_name, stats_dir, gen_batch_size, mesh=mesh,
         )
         gen.storage.set_ready_for_usage()
         if logger:
@@ -342,6 +343,7 @@ def make_nf_evaluate_fn(
     ssim_psnr: Optional[Dict] = None,
     dataset_split: str = "train",
     gen_batch_size: int = 256,
+    mesh=None,
 ):
     """evaluate_fn(sample_fn, params, epoch) used by both trainers: quick
     FID/KID at checkpoint epochs (reference num_gen=15 for NF trainer.py:202-207,
@@ -386,7 +388,7 @@ def make_nf_evaluate_fn(
                 dataset_split=split, fid_kwargs=fid_configs,
                 kid_kwargs=kid_configs, ssim_psnr_kwargs=ssim_kwargs,
                 stats_dir=stats_dir, logger=logger,
-                gen_batch_size=max(gen_batch_size, 32),
+                gen_batch_size=max(gen_batch_size, 32), mesh=mesh,
             )
             logger.info(f"epoch {epoch} metrics: {metrics}")
             return metrics

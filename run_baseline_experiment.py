@@ -94,6 +94,8 @@ def main(argv):
     kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
     ssim_cfg = cfg.select("model.evaluation.metrics.SSIM_and_PSNR")
     evaluate_fn = None
+    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    fsdp = bool(cfg.select("parallel.fsdp", False))
     if fid_cfgs or kid_cfgs or ssim_cfg:
         from nfdpm_tpu.metrics.compute import make_nf_evaluate_fn
 
@@ -109,10 +111,8 @@ def main(argv):
             quick_num_gen=int(cfg.select("model.evaluation.quick_num_gen", 15)),
             dataset_split=str(cfg.select("model.evaluation.dataset_split", "train")),
             gen_batch_size=int(cfg.select("model.evaluation.gen_batch_size", 256)),
+            mesh=mesh,  # feature-net forward shards P("data") over it
         )
-
-    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
-    fsdp = bool(cfg.select("parallel.fsdp", False))
     resume_dir = cfg.load.load_exp_dir
     resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
     if resume_dir:

@@ -173,6 +173,7 @@ def main(argv):
             quick_num_gen=int(cfg.select("model.evaluation.quick_num_gen", 2000)),
             dataset_split=str(cfg.select("model.evaluation.dataset_split", "train")),
             gen_batch_size=int(cfg.select("model.evaluation.gen_batch_size", 256)),
+            mesh=mesh,  # feature-net forward shards P("data") over it
         )
 
     # Final VLB budget: 'full' (default, apples-to-apples with nf_trainer's

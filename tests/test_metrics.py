@@ -301,12 +301,15 @@ class TestEvaluateFnRandomness:
 
         loaders = type("L", (), {"eval": Loader(synthetic(16, 16, 3, seed=1),
                                                 batch_size=16)})()
+        from nfdpm_tpu.parallel import mesh as mesh_m
+
         evaluate_fn = mc.make_nf_evaluate_fn(
             data_name="synthetic", loaders=loaders,
             fid_configs=[{"mode": "clean", "model_name": "inception_v3"}],
             kid_configs=[], img_size=16, temperature=1.0, logger=logger,
             stats_dir=stats_dir, quick_num_gen=64, dataset_split="train",
             gen_batch_size=32,
+            mesh=mesh_m.make_mesh(),  # sharded feature extraction end-to-end
         )
         metrics = evaluate_fn(fake_sample_fn, None, epoch=3)
         assert "FID_clean_inception" in metrics
