@@ -160,3 +160,46 @@ def test_two_stage_workflow(workdir, monkeypatch):
     assert np.all(np.abs(g[1].astype(int) - g[0].astype(int)) <= 15)
     assert np.all(np.abs(g[-2].astype(int) - g[-1].astype(int)) <= 15)
     assert np.mean(np.abs(g[1].astype(int) - g[0].astype(int))) < 8.5
+
+
+def test_sweep_tool(workdir, monkeypatch):
+    """tools/sweep.py: two tiny baseline runs from one spec, combined
+    summary with per-run final metrics and a comparison report."""
+    import json
+
+    monkeypatch.chdir(workdir)
+    from tools.sweep import main as sweep_main
+
+    spec = {
+        "entry": "baseline",
+        "base": [
+            "data.name=synthetic", "data.synthetic_fallback=true",
+            "data.batch_size=8", "data.img_size=8", "data.synthetic_n=32",
+            "model.architecture.L=2", "model.architecture.K=1",
+            "model.architecture.coupling_width=16",
+            "model.training.epochs=1", "model.training.print_freq=4",
+            "model.training.save_checkpoint_freq=5",
+        ],
+        "runs": [
+            ["experiment_name=sweep_a", "seed=1"],
+            ["experiment_name=sweep_b", "seed=2"],
+        ],
+    }
+    spec_path = os.path.join(workdir, "sweep.yaml")
+    import yaml
+
+    with open(spec_path, "w") as f:
+        yaml.safe_dump(spec, f)
+
+    sweep_main([spec_path, "--out", os.path.join(workdir, "sweep_out")])
+    summary = json.load(open(os.path.join(workdir, "sweep_out",
+                                          "sweep_summary.json")))
+    assert len(summary["rows"]) == 2
+    key = "bpd[final=True,subset=test]"
+    for row in summary["rows"]:
+        assert row["run_dir"] and key in row["final"]
+    # the two seeds produced different runs
+    assert (summary["rows"][0]["final"][key]
+            != summary["rows"][1]["final"][key])
+    doc = open(os.path.join(workdir, "sweep_out", "report.html")).read()
+    assert "sweep_a" in doc and "sweep_b" in doc
