@@ -120,6 +120,24 @@ def read_cifar10(root: str, split: str) -> ArrayDataset:
 # ImageNet 32/64 (pickled batch files, reference layout)
 # ---------------------------------------------------------------------------
 
+
+def _atomic_cache_save(path: str, arr: np.ndarray) -> Optional[np.ndarray]:
+    """np.save via temp-file + rename so an interrupted write can never
+    leave a truncated cache that poisons every later mmap load; returns the
+    reloaded memmap or None when the dir is unwritable."""
+    tmp = f"{path}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save keeps it
+    try:
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+        return np.load(path, mmap_mode="r")
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+
+
 def read_imagenet(root: str, split: str, res: int = 32,
                   memmap: Optional[bool] = None) -> ArrayDataset:
     """data/utils.py:96-122 layout: root/imagenet{res}/{split}/{split}_data_batch_i.
@@ -140,8 +158,11 @@ def read_imagenet(root: str, split: str, res: int = 32,
     img_cache = os.path.join(base, f"{split}_nhwc_u8.npy")
     lbl_cache = os.path.join(base, f"{split}_labels_i64.npy")
     if use_mmap and os.path.exists(img_cache) and os.path.exists(lbl_cache):
-        return ArrayDataset(np.load(img_cache, mmap_mode="r"),
-                            np.load(lbl_cache), name=f"imagenet{res}")
+        try:
+            return ArrayDataset(np.load(img_cache, mmap_mode="r"),
+                                np.load(lbl_cache), name=f"imagenet{res}")
+        except (ValueError, OSError):  # corrupt/truncated cache: re-decode
+            pass
 
     def unpickle(p):
         with open(p, "rb") as f:
@@ -159,12 +180,9 @@ def read_imagenet(root: str, split: str, res: int = 32,
     data = np.ascontiguousarray(data.reshape(-1, res, res, 3))
     labels = labels.astype(np.int64)
     if use_mmap:
-        try:
-            np.save(img_cache, data)
-            np.save(lbl_cache, labels)
-            data = np.load(img_cache, mmap_mode="r")
-        except OSError:  # read-only dataset dir: stay in memory
-            pass
+        mapped = _atomic_cache_save(img_cache, data)
+        if mapped is not None and _atomic_cache_save(lbl_cache, labels) is not None:
+            data = mapped
     return ArrayDataset(data, labels, name=f"imagenet{res}")
 
 
@@ -199,9 +217,12 @@ def read_celeba(
     key = f"s{''.join(map(str, sorted(splits)))}_r{img_size or 0}_l{limit or 0}"
     img_cache = os.path.join(root, "celeba", f"decoded_{key}_u8.npy")
     if use_mmap and os.path.exists(img_cache):
-        images = np.load(img_cache, mmap_mode="r")
-        return ArrayDataset(images, np.zeros((len(images),), np.int64),
-                            name="celeba")
+        try:
+            images = np.load(img_cache, mmap_mode="r")
+            return ArrayDataset(images, np.zeros((len(images),), np.int64),
+                                name="celeba")
+        except (ValueError, OSError):  # corrupt/truncated cache: re-decode
+            pass
     names: List[str] = []
     with open(part_csv) as f:
         for row in csv.DictReader(f):
@@ -217,11 +238,9 @@ def read_celeba(
         out.append(np.asarray(im, np.uint8))
     images = np.stack(out) if out else np.zeros((0, img_size or 218, img_size or 178, 3), np.uint8)
     if use_mmap and len(images):
-        try:
-            np.save(img_cache, images)
-            images = np.load(img_cache, mmap_mode="r")
-        except OSError:
-            pass
+        mapped = _atomic_cache_save(img_cache, images)
+        if mapped is not None:
+            images = mapped
     return ArrayDataset(images, np.zeros((len(images),), np.int64), name="celeba")
 
 

@@ -117,10 +117,10 @@ def extract_features(
         from ..parallel import mesh as mesh_m
 
         n_data = mesh.shape.get("data", 1)
-        if batch_size % n_data:
-            raise ValueError(
-                f"batch_size {batch_size} must divide by the mesh data "
-                f"axis ({n_data}) for sharded feature extraction")
+        # round UP to a multiple of the data axis (device_put needs the
+        # leading dim divisible; the pad-and-trim below absorbs the rest) —
+        # never fail hours into a run over a batch/mesh mismatch
+        batch_size = ((batch_size + n_data - 1) // n_data) * n_data
         sharding = mesh_m.data_sharding(mesh)
 
     feats = []

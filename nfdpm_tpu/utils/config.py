@@ -91,6 +91,11 @@ def make_run_dir(cfg: Config, base: str = "outputs") -> str:
     ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     name = cfg.get("experiment_name", "exp")
     run_dir = os.path.join(base, f"{name}_{ts}")
+    # same-second starts (e.g. fast sweep runs) must not share a dir
+    suffix = 2
+    while os.path.exists(run_dir):
+        run_dir = os.path.join(base, f"{name}_{ts}-{suffix}")
+        suffix += 1
     os.makedirs(os.path.join(run_dir, "checkpoints"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
     with open(os.path.join(run_dir, "config.yaml"), "w") as f:

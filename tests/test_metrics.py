@@ -352,7 +352,6 @@ class TestShardedFeatureExtraction:
         single-device path bit-for-bit, including the padded+trimmed final
         partial batch (n=11 with batch 8)."""
         import jax
-        import pytest
 
         from nfdpm_tpu.metrics.compute import get_feature_extractor
         from nfdpm_tpu.parallel import mesh as mesh_m
@@ -367,6 +366,8 @@ class TestShardedFeatureExtraction:
         assert shd.shape == ref.shape == (11, 2048)
         np.testing.assert_allclose(shd, ref, rtol=1e-6, atol=1e-6)
 
-        with pytest.raises(ValueError, match="must divide"):
-            fid_m.extract_features(imgs, fn, 299, "clean", batch_size=6,
-                                   mesh=mesh)
+        # a batch that doesn't divide the data axis rounds UP (6 -> 8) and
+        # still produces exact features — no fail-late crash on big meshes
+        shd6 = fid_m.extract_features(imgs, fn, 299, "clean", batch_size=6,
+                                      mesh=mesh)
+        np.testing.assert_allclose(shd6, ref, rtol=1e-6, atol=1e-6)

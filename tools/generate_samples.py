@@ -73,6 +73,26 @@ def _build_diffusion(run_dir: str, epoch, ddim, mesh=None):
     return sample_fn, params, run.temperature, run.epoch
 
 
+def generate_batched(sample_fn, params, n, batch, temperature, seed):
+    """Chunked fixed-batch generation: ONE compiled program (fixed batch),
+    final chunk trimmed, a fresh salt folded per chunk so no two chunks
+    repeat samples (cf. compute.py's salt-collapse note). Shared by the
+    CLI below and tools/serve.py."""
+    import jax
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    chunks, produced, salt = [], 0, 0
+    while produced < n:
+        take = min(batch, n - produced)
+        imgs = np.asarray(sample_fn(params, key, batch, temperature,
+                                    np.int32(salt)))[:take]
+        chunks.append(imgs)
+        produced += take
+        salt += 1
+    return np.concatenate(chunks, axis=0)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--run-dir", required=True,
@@ -132,21 +152,10 @@ def main(argv=None):
     out_dir = args.out or os.path.join(run_dir, "generated")
     os.makedirs(out_dir, exist_ok=True)
 
-    key = jax.random.PRNGKey(args.seed)
-    chunks = []
-    produced = 0
     t0 = time.perf_counter()
-    salt = 0
-    while produced < args.n:
-        take = min(args.batch, args.n - produced)
-        # fixed batch size => one compiled program; trim the final chunk
-        imgs = np.asarray(sample_fn(params, key, args.batch, temperature,
-                                    np.int32(salt)))[:take]
-        chunks.append(imgs)
-        produced += take
-        salt += 1
+    samples = generate_batched(sample_fn, params, args.n, args.batch,
+                               temperature, args.seed)
     dt_s = time.perf_counter() - t0
-    samples = np.concatenate(chunks, axis=0)
 
     grid_path = os.path.join(out_dir, "grid.png")
     save_image_grid(samples[:64], grid_path)

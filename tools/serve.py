@@ -35,11 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_sampler(args):
     """(sample_images(n, temperature, seed) -> uint8 NHWC, info dict)."""
     import jax
-    import numpy as np
 
     from nfdpm_tpu.training.runload import detect_kind, resolve_run_dir
     from nfdpm_tpu.utils.env import enable_compilation_cache
-    from tools.generate_samples import _build_diffusion, _build_glow
+    from tools.generate_samples import (_build_diffusion, _build_glow,
+                                        generate_batched)
 
     enable_compilation_cache()
     run_dir = resolve_run_dir(args.run_dir)
@@ -62,17 +62,9 @@ def build_sampler(args):
     lock = threading.Lock()
 
     def sample_images(n, temperature, seed):
-        key = jax.random.PRNGKey(seed)
-        chunks, produced, salt = [], 0, 0
         with lock:  # one compiled executable, one dispatch stream
-            while produced < n:
-                take = min(batch, n - produced)
-                imgs = np.asarray(sample_fn(
-                    params, key, batch, temperature, np.int32(salt)))[:take]
-                chunks.append(imgs)
-                produced += take
-                salt += 1
-        return np.concatenate(chunks, axis=0)
+            return generate_batched(sample_fn, params, n, batch,
+                                    temperature, seed)
 
     info = {"run_dir": run_dir, "kind": kind, "epoch": int(epoch),
             "batch": batch, "temperature": float(run_temp),
@@ -107,6 +99,8 @@ def make_handler(sample_images, info):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 n = int(req["n"])
                 if n < 1 or n > 1_000_000:
                     raise ValueError("n out of range")
@@ -114,7 +108,10 @@ def make_handler(sample_images, info):
                                             info["temperature"]))
                 seed = int(req.get("seed", 0))
                 fmt = req.get("format", "npz")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                if fmt == "png":
+                    n = min(n, 64)  # the grid shows 64; don't generate more
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return
             import numpy as np

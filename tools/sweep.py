@@ -39,21 +39,16 @@ def load_spec(path):
 
 
 def final_metrics(run_dir):
-    """Last value per metric name from the run's metrics.jsonl."""
+    """Last value per metric key from the run's metrics.jsonl (same
+    parsing + key format as tools/report.py — shared helpers, so summary
+    keys can never drift from the report's)."""
+    from tools.report import load_stream, series_key
+
     out = {}
-    path = os.path.join(run_dir, "metrics.jsonl")
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if isinstance(rec.get("value"), (int, float)):
-                    ctx = rec.get("context") or {}
-                    suffix = ",".join(f"{k}={v}" for k, v in sorted(ctx.items()))
-                    key = f"{rec['name']}[{suffix}]" if suffix else rec["name"]
-                    out[key] = rec["value"]
+    for rec in load_stream(run_dir):
+        v = rec.get("value")
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[series_key(rec)] = v
     return out
 
 
@@ -77,21 +72,32 @@ def main(argv=None):
     base = [str(x) for x in (spec.get("base") or [])]
 
     os.makedirs(args.out, exist_ok=True)
+    summary_path = os.path.join(args.out, "sweep_summary.json")
     rows = []
+
+    def write_summary():  # incrementally: a late failure never loses
+        with open(summary_path, "w") as f:  # earlier runs' results
+            json.dump({"entry": entry, "base": base, "rows": rows}, f,
+                      indent=2)
+
     for i, overrides in enumerate(spec["runs"]):
         overrides = [str(x) for x in overrides]
         before = set(glob.glob(os.path.join("outputs", "*")))
         print(f"[sweep] run {i + 1}/{len(spec['runs'])}: {overrides}",
               flush=True)
-        run_main(base + overrides)
-        new_dirs = sorted(set(glob.glob(os.path.join("outputs", "*"))) - before)
-        run_dir = new_dirs[-1] if new_dirs else None
-        rows.append({"overrides": overrides, "run_dir": run_dir,
-                     "final": final_metrics(run_dir) if run_dir else {}})
-
-    summary_path = os.path.join(args.out, "sweep_summary.json")
-    with open(summary_path, "w") as f:
-        json.dump({"entry": entry, "base": base, "rows": rows}, f, indent=2)
+        row = {"overrides": overrides, "run_dir": None, "final": {}}
+        try:
+            run_main(base + overrides)
+        except (Exception, SystemExit) as e:  # keep sweeping; record it
+            row["error"] = f"{type(e).__name__}: {e}"
+            print(f"[sweep] run {i + 1} FAILED: {row['error']}", flush=True)
+        new_dirs = sorted(set(glob.glob(os.path.join("outputs", "*"))) - before,
+                          key=os.path.getmtime)
+        if new_dirs:  # newest of the dirs this run created (usually one)
+            row["run_dir"] = new_dirs[-1]
+            row["final"] = final_metrics(row["run_dir"])
+        rows.append(row)
+        write_summary()
 
     report_path = None
     if not args.no_report:
