@@ -155,6 +155,47 @@ class TestDiffusionTrainer:
             flow_before, state["params"]["flow"],
         )
 
+    def test_unfrozen_flow_cotrains_with_bpd_term(self, setup):
+        """freeze=false parity (reference diffusion_prior/trainer.py:104-108,
+        143-146): the flow params update at lr_nf and the reported loss is
+        sum(part losses) + 0.5 * mean flow-BPD, recomputed here exactly."""
+        import math
+
+        from nfdpm_tpu.models import prior as prior_m
+        from nfdpm_tpu.ops import quantize as q
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        _, flow_params, dp = setup
+        backbone = NFBackbone(cfg=GCFG, img_size=8, frozen=False)
+        tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-3, lr_nf=1e-4)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=False)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx)
+        # the train step donates its input state: snapshot params first
+        params_before = jax.tree.map(np.asarray, state["params"])
+        step = dt.make_train_step(backbone, dp, tcfg, tx)
+        batch = jax.random.uniform(jax.random.PRNGKey(8), (4, 8, 8, 3))
+        key = jax.random.PRNGKey(0)
+        state, m = step(state, batch, key)
+
+        # (a) loss composition: replicate the step's key derivation for the
+        # dequantization draw; the diffusion part comes from part_losses
+        step_key = jax.random.fold_in(key, 0)
+        k_dq, _ = jax.random.split(step_key)
+        x = q.dequantize(k_dq, q.preprocess(batch, tcfg.n_bits), tcfg.n_bits)
+        _, ldj = backbone.transform(params_before["flow"], x)
+        n_pixel = prior_m.n_pixels(8, GCFG.in_channels,
+                                   tcfg.compat_three_channel_bpd)
+        nf_bpd = tcfg.nf_bpd_weight * float(
+            jnp.mean(-ldj / (math.log(2.0) * n_pixel)))
+        expected = float(np.sum(np.asarray(m["part_losses"]))) + nf_bpd
+        np.testing.assert_allclose(float(m["loss"]), expected, rtol=1e-5)
+
+        # (b) the flow is actually co-training: trainable flow leaves moved
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(jnp.asarray(a) - b))),
+            params_before["flow"], state["params"]["flow"])
+        assert sum(jax.tree_util.tree_leaves(diffs)) > 0.0
+
     def test_bpd_with_diff_prior_accumulates(self, setup):
         from nfdpm_tpu.data.pipeline import read_dataset
         from nfdpm_tpu.training import diffusion_trainer as dt
