@@ -68,6 +68,35 @@ def test_two_stage_workflow(workdir, monkeypatch):
     # metrics stream was written
     assert os.path.exists(os.path.join(workdir, "outputs", diff_run, "metrics.jsonl"))
 
+    # unfrozen (co-trained flow) leg: the reference's freeze=False + nf lr
+    # config (configs/nf_diffusion.yaml:31-33, trainer.py:104-108,143-146)
+    diff_exp.main([
+        "experiment_name=diff_unfrozen",
+        "data.name=synthetic",
+        "data.synthetic_fallback=true",
+        "data.batch_size=8",
+        "data.img_size=8",
+        f"model.normalizing_flow.init_nf.pretrain.dir={nf_run}",
+        "model.normalizing_flow.init_nf.pretrain.epoch=1",
+        "model.normalizing_flow.freeze=false",
+        "model.normalizing_flow.lr=1e-4",
+        "model.unet.dim=8",
+        "model.unet.dim_mults=[1,2]",
+        "model.unet.resnet_block_groups=2",
+        "model.diffusion.timesteps=8",
+        "model.diffusion.sampling_timesteps=4",
+        "model.training.epochs=1",
+        "model.training.save_checkpoint_freq=1",
+    ])
+    runs = os.listdir(os.path.join(workdir, "outputs"))
+    unf_run = [r for r in runs if r.startswith("diff_unfrozen")][0]
+    unf_dir = os.path.join(workdir, "outputs", unf_run)
+    # the tracked loss is the co-training objective (l2 + 0.5*flow BPD)
+    with open(os.path.join(unf_dir, "metrics.jsonl")) as f:
+        assert "_plus_bpd" in f.read()
+    assert any(f.startswith("model_diffusion_")
+               for f in os.listdir(os.path.join(unf_dir, "checkpoints")))
+
     # eval phase on the stored NF checkpoint (run_baseline_experiment.py:104-151)
     base_exp.main([
         "experiment_name=nf_eval",
