@@ -45,6 +45,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over "data" AND image height over "model": spatial partitioning
+    (the sequence-parallel analogue for image models, SURVEY.md §5.7). GSPMD
+    partitions the coupling CNNs' 3x3 convs with automatic halo exchange, so
+    per-device activation memory scales ~1/n_model — the idiomatic TPU lever
+    for very large images (CelebA-128+) when batch-per-chip is already 1.
+    Requires every level's spatial extent (img_size / 2^L) to stay divisible
+    by the model-axis size."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch onto the mesh, sharded along the batch axis."""
     s = data_sharding(mesh)

@@ -66,7 +66,7 @@ class NFTrainConfig:
 
 
 def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
-                    inject_noise: bool = False):
+                    inject_noise: bool = False, spatial_sharding=None):
     """Build the jitted train step: (state, batch, base_key) -> (state, metrics).
 
     The per-step dequantization key is folded from (base_key, state.step)
@@ -77,7 +77,12 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
     U(0,1) noise tensor (third arg becomes `noise` instead of `base_key`) —
     used by the trained-trajectory parity harness to feed bit-identical
     dequantization noise to this step and the PyTorch reference
-    (/root/reference/normalizing_flow/trainer.py:155)."""
+    (/root/reference/normalizing_flow/trainer.py:155).
+
+    `spatial_sharding` (a NamedSharding, see mesh.spatial_sharding) constrains
+    the dequantized NHWC batch to P("data", "model") so the flow forward AND
+    backward run spatially partitioned — GSPMD inserts halo exchanges for the
+    3x3 coupling convs and per-device activation memory scales ~1/n_model."""
     n_bins = q.n_bins_of(tcfg.n_bits)
 
     def loss_fn(params, batch, key_or_noise):
@@ -86,6 +91,8 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
             x = x + key_or_noise / n_bins
         else:
             x = q.dequantize(key_or_noise, x, tcfg.n_bits)
+        if spatial_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, spatial_sharding)
         latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
         logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
         ll = ldj + logp
@@ -291,10 +298,14 @@ def train(
     evaluate_fn=None,
     mesh=None,
     fsdp: bool = False,
+    spatial: bool = False,
 ) -> Dict[str, Any]:
     """Full training driver. `evaluate_fn(sample_fn, params, epoch)` is an
     optional hook for FID/KID evaluation (metrics engine). `fsdp=True`
-    partitions params + Adam moments over the mesh "data" axis (ZeRO)."""
+    partitions params + Adam moments over the mesh "data" axis (ZeRO).
+    `spatial=True` additionally shards image HEIGHT over the "model" axis in
+    the train step (spatial partitioning — activation-memory lever for very
+    large images; requires img_size/2^L divisible by the model-axis size)."""
     key = jax.random.PRNGKey(seed)
     tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
     mesh = mesh or mesh_m.make_mesh()
@@ -348,7 +359,9 @@ def train(
             },
         )
 
-        train_step = make_train_step(cfg, tcfg, tx)
+        spatial_s = (mesh_m.spatial_sharding(mesh)
+                     if spatial and mesh.shape.get("model", 1) > 1 else None)
+        train_step = make_train_step(cfg, tcfg, tx, spatial_sharding=spatial_s)
         eval_step = make_eval_step(cfg, tcfg)
         sample_fn = make_sample_fn(cfg, tcfg, img_size, mesh=mesh)
 

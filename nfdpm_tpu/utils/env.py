@@ -22,6 +22,28 @@ import numpy as np
 DEFAULT_COMPILE_CACHE = os.path.expanduser("~/.nfdpm_tpu/jax_cache")
 
 
+def honor_platform_env() -> None:
+    """Make `JAX_PLATFORMS=cpu python run_*.py ...` actually select CPU.
+
+    This environment's TPU plugin force-selects `jax_platforms="axon,cpu"`
+    from sitecustomize at interpreter start, AFTER jax has consumed the
+    JAX_PLATFORMS env var — so the documented env-var route silently loses
+    and a CLI started with JAX_PLATFORMS=cpu still initializes the axon
+    backend (and hangs if the TPU tunnel is down). Re-assert the user's
+    explicit choice via jax.config before any backend is instantiated.
+    No-op when the env var is unset or backends are already live."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+
+    try:
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except (AttributeError, RuntimeError):  # old jax / backends already up
+        pass
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Persistent XLA compilation cache shared by every CLI process.
 
@@ -31,7 +53,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     compile scope). One shared on-disk cache makes it a one-time cost.
     Opt out with NFDPM_NO_COMPILE_CACHE=1 (e.g. for compile benchmarking);
     override the location with NFDPM_COMPILE_CACHE=<dir>.
-    """
+
+    Also honors an explicit JAX_PLATFORMS env choice (every CLI calls this
+    first — see honor_platform_env)."""
+    honor_platform_env()
     if os.environ.get("NFDPM_NO_COMPILE_CACHE"):
         return None
     import jax

@@ -124,6 +124,7 @@ def main(argv):
             seed=int(cfg.seed), img_size=int(cfg.data.img_size),
             resume_dir=resume_dir, resume_epoch=resume_epoch,
             evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
+            spatial=bool(cfg.select("parallel.spatial", False)),
         )
         logger.info(f"Training done: {out['results']}")
     elif cfg.phase == "eval":

@@ -68,6 +68,43 @@ def test_dp_tp_train_step_matches_single_device():
     )
 
 
+def test_spatial_train_step_matches_single_device():
+    """Spatial partitioning (image height over "model", mesh.spatial_sharding):
+    the constrained train step computes the same loss and parameter update as
+    the unsharded one — GSPMD's halo exchange for the 3x3 coupling convs is
+    exact. This is the sequence-parallel analogue for image models
+    (SURVEY.md §5.7), an activation-memory lever for very large images.
+
+    SGD keeps the update LINEAR in the gradients: halo-exchange reduction
+    order perturbs near-zero grads at ~1e-6, which Adam's first-step
+    g/sqrt(g^2) normalization would amplify to full +-lr sign flips."""
+    import optax
+
+    tx = optax.sgd(1e-3)
+    key = jax.random.PRNGKey(0)
+    state = nft.init_train_state(0, CFG, TCFG, tx)
+    plain_step = nft.make_train_step(CFG, TCFG, tx)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    s1, m1 = plain_step(jax.tree.map(jnp.copy, state), batch, key)
+
+    mesh = mesh_m.make_mesh(n_data=4, n_model=2)
+    with mesh:
+        sp_step = nft.make_train_step(
+            CFG, TCFG, tx, spatial_sharding=mesh_m.spatial_sharding(mesh))
+        sharded_state = jax.tree.map(
+            lambda x: jax.device_put(x, mesh_m.replicated(mesh)), state)
+        sbatch = jax.device_put(batch, mesh_m.spatial_sharding(mesh))
+        s2, m2 = sp_step(sharded_state, sbatch, key)
+
+    np.testing.assert_allclose(float(m1["bpd"]), float(m2["bpd"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=1e-5
+        ),
+        s1["params"], s2["params"],
+    )
+
+
 def test_inverse_under_tp_mesh():
     """Sampling path works with TP-sharded params."""
     mesh = mesh_m.make_mesh(n_data=4, n_model=2)
