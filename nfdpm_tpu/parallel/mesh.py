@@ -51,8 +51,17 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     partitions the coupling CNNs' 3x3 convs with automatic halo exchange, so
     per-device activation memory scales ~1/n_model — the idiomatic TPU lever
     for very large images (CelebA-128+) when batch-per-chip is already 1.
-    Requires every level's spatial extent (img_size / 2^L) to stay divisible
-    by the model-axis size."""
+
+    SAFETY: XLA's spatially-partitioned conv was measured to silently
+    MISCOMPILE when a shard's row count falls to ~the kernel halo (3x3
+    wrong at 1 row/shard, 7x7 wrong at 2 rows/shard; exact above that —
+    see tests/test_parallel.py::test_spatial_conv_halo_hazard). Callers must
+    keep every spatially-sharded conv at >= 2 rows/shard for 3x3 kernels:
+    for Glow that is (img_size / 2^levels) / n_model >= 2, which
+    nf_trainer.train enforces. Never propagate this sharding into the UNet
+    (7x7 init conv on small latents); diffusion_trainer re-constrains
+    latents to P("data") before the diffusion losses for exactly this
+    reason."""
     return NamedSharding(mesh, P("data", "model"))
 
 

@@ -89,19 +89,36 @@ def make_two_group_optimizer(
 
 
 def make_train_step(
-    backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig, tx
+    backbone: NFBackbone, dp: DiffusionPrior, tcfg: DiffusionTrainConfig, tx,
+    spatial_sharding=None,
 ):
+    """`spatial_sharding` (mesh.spatial_sharding) constrains the dequantized
+    NHWC batch P("data", "model") so the flow transform runs spatially
+    partitioned — same activation-memory lever as the NF trainer's
+    (nf_trainer.make_train_step). The latents are re-constrained to
+    P("data") before the diffusion losses: the UNet's 7x7 init conv on
+    small latents is exactly the regime where XLA's spatial conv
+    partitioning miscompiles (mesh.spatial_sharding docstring)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from ..models import prior as prior_m
 
     n_pixel = prior_m.n_pixels(
         backbone.img_size, backbone.cfg.in_channels, tcfg.compat_three_channel_bpd
     )
+    latent_sharding = (NamedSharding(spatial_sharding.mesh, P("data"))
+                       if spatial_sharding is not None else None)
 
     def loss_fn(params, batch, key):
         k_dq, k_diff = jax.random.split(key)
         x = q.preprocess(batch, tcfg.n_bits)
         x = q.dequantize(k_dq, x, tcfg.n_bits)
+        if spatial_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, spatial_sharding)
         latents, ldj = backbone.transform(params["flow"], x)
+        if latent_sharding is not None:
+            latents = [jax.lax.with_sharding_constraint(z, latent_sharding)
+                       for z in latents]
         losses = dp.losses(params["diffusion"], k_diff, latents)
         loss = sum(losses)
         if not backbone.frozen:
@@ -257,6 +274,7 @@ def train(
     evaluate_fn=None,
     mesh=None,
     fsdp: bool = False,
+    spatial: bool = False,
 ) -> Dict[str, Any]:
     key = jax.random.PRNGKey(seed)
     tx = make_two_group_optimizer(tcfg, backbone.frozen)
@@ -279,7 +297,20 @@ def train(
                 f"Param shardings applied: model axis={n_model}"
                 f"{', FSDP over data axis' if fsdp else ''}")
 
-        train_step = make_train_step(backbone, dp, tcfg, tx)
+        spatial_s = None
+        if spatial and mesh.shape.get("model", 1) > 1:
+            n_model = mesh.shape["model"]
+            deepest = backbone.img_size >> backbone.cfg.levels
+            if deepest % n_model or deepest // n_model < 2:
+                # XLA's spatially-partitioned 3x3 conv miscompiles below
+                # 2 rows/shard (mesh.spatial_sharding docstring)
+                raise ValueError(
+                    f"parallel.spatial needs (img_size/2^L)/n_model >= 2 and "
+                    f"divisible; got {backbone.img_size}/2^{backbone.cfg.levels}"
+                    f"={deepest} over model={n_model}")
+            spatial_s = mesh_m.spatial_sharding(mesh)
+        train_step = make_train_step(backbone, dp, tcfg, tx,
+                                     spatial_sharding=spatial_s)
         sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=mesh)
 
         from ..data.pipeline import prefetch_to_device

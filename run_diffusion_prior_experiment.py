@@ -205,6 +205,7 @@ def main(argv):
             loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),
             resume_dir=resume_dir, resume_epoch=resume_epoch,
             evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
+            spatial=bool(cfg.select("parallel.spatial", False)),
         )
         _report_vlb(out["state"]["params"])
     elif cfg.phase == "eval":
