@@ -492,6 +492,41 @@ def test_fsdp_diffusion_state_and_step():
     )
 
 
+def test_spatial_partitions_activation_memory():
+    """Quantitative SP evidence: the compiled train step's per-device TEMP
+    (activation) bytes shrink when image height is sharded over "model" —
+    the point of parallel.spatial for very large images. Measured at this
+    test's shape: 2.54 MB -> 1.65 MB (0.65x; exact 1/n_model is unreachable
+    because small replicated buffers and conv halos don't shrink)."""
+    import optax
+
+    cfg = glow_m.GlowConfig(in_channels=3, levels=2, steps=2,
+                            coupling_width=64)
+    tcfg = nft.NFTrainConfig(epochs=1, lr=1e-3)
+    tx = optax.sgd(1e-3)
+    mesh = mesh_m.make_mesh(n_data=4, n_model=2)
+    key = jax.random.PRNGKey(0)
+    with mesh:
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, mesh_m.replicated(mesh)),
+            nft.init_train_state(0, cfg, tcfg, tx))
+        bd = jax.device_put(jnp.zeros((8, 32, 32, 3)), mesh_m.data_sharding(mesh))
+        bs = jax.device_put(jnp.zeros((8, 32, 32, 3)),
+                            mesh_m.spatial_sharding(mesh))
+        step_d = nft.make_train_step(cfg, tcfg, tx)
+        step_s = nft.make_train_step(
+            cfg, tcfg, tx, spatial_sharding=mesh_m.spatial_sharding(mesh))
+        ma_d = step_d.lower(state, bd, key).compile().memory_analysis()
+        ma_s = step_s.lower(state, bs, key).compile().memory_analysis()
+    if ma_d is None or ma_s is None:
+        import pytest
+
+        pytest.skip("backend provides no memory_analysis")
+    assert ma_s.temp_size_in_bytes < 0.8 * ma_d.temp_size_in_bytes, (
+        f"spatial temp {ma_s.temp_size_in_bytes} not < 0.8x "
+        f"data-only {ma_d.temp_size_in_bytes}")
+
+
 def test_fsdp_partitions_device_memory():
     """Quantitative FSDP evidence: device-0's addressable bytes for params +
     Adam moments drop to ~1/n_data of the replicated layout (small leaves
