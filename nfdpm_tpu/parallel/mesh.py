@@ -65,6 +65,21 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model"))
 
 
+def checked_spatial_sharding(mesh: Mesh, img_size: int, levels: int) -> NamedSharding:
+    """spatial_sharding with the halo-safety guard both trainers need:
+    every Glow level's spatial extent must keep >= 2 rows per "model" shard
+    (see spatial_sharding's SAFETY note; the deepest level img_size/2^levels
+    is the binding one). Raises ValueError outside the safe regime."""
+    n_model = mesh.shape["model"]
+    deepest = img_size >> levels
+    if deepest % n_model or deepest // n_model < 2:
+        raise ValueError(
+            f"parallel.spatial needs (img_size/2^L)/n_model >= 2 and "
+            f"divisible; got {img_size}/2^{levels}={deepest} over "
+            f"model={n_model}")
+    return spatial_sharding(mesh)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch onto the mesh, sharded along the batch axis."""
     s = data_sharding(mesh)

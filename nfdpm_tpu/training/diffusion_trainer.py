@@ -99,14 +99,12 @@ def make_train_step(
     P("data") before the diffusion losses: the UNet's 7x7 init conv on
     small latents is exactly the regime where XLA's spatial conv
     partitioning miscompiles (mesh.spatial_sharding docstring)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from ..models import prior as prior_m
 
     n_pixel = prior_m.n_pixels(
         backbone.img_size, backbone.cfg.in_channels, tcfg.compat_three_channel_bpd
     )
-    latent_sharding = (NamedSharding(spatial_sharding.mesh, P("data"))
+    latent_sharding = (mesh_m.data_sharding(spatial_sharding.mesh)
                        if spatial_sharding is not None else None)
 
     def loss_fn(params, batch, key):
@@ -298,17 +296,15 @@ def train(
                 f"{', FSDP over data axis' if fsdp else ''}")
 
         spatial_s = None
-        if spatial and mesh.shape.get("model", 1) > 1:
-            n_model = mesh.shape["model"]
-            deepest = backbone.img_size >> backbone.cfg.levels
-            if deepest % n_model or deepest // n_model < 2:
-                # XLA's spatially-partitioned 3x3 conv miscompiles below
-                # 2 rows/shard (mesh.spatial_sharding docstring)
-                raise ValueError(
-                    f"parallel.spatial needs (img_size/2^L)/n_model >= 2 and "
-                    f"divisible; got {backbone.img_size}/2^{backbone.cfg.levels}"
-                    f"={deepest} over model={n_model}")
-            spatial_s = mesh_m.spatial_sharding(mesh)
+        if spatial:
+            if n_model > 1:
+                spatial_s = mesh_m.checked_spatial_sharding(
+                    mesh, backbone.img_size, backbone.cfg.levels)
+                logger.info(f"Spatial partitioning: H over model={n_model}")
+            else:
+                logger.warning(
+                    "parallel.spatial=true has no effect without a model "
+                    "axis — set parallel.n_model>1")
         train_step = make_train_step(backbone, dp, tcfg, tx,
                                      spatial_sharding=spatial_s)
         sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=mesh)

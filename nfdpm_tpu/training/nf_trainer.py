@@ -360,17 +360,15 @@ def train(
         )
 
         spatial_s = None
-        if spatial and mesh.shape.get("model", 1) > 1:
-            n_model = mesh.shape["model"]
-            deepest = img_size >> cfg.levels
-            if deepest % n_model or deepest // n_model < 2:
-                # XLA's spatially-partitioned 3x3 conv miscompiles below
-                # 2 rows/shard (mesh.spatial_sharding docstring)
-                raise ValueError(
-                    f"parallel.spatial needs (img_size/2^L)/n_model >= 2 and "
-                    f"divisible; got {img_size}/2^{cfg.levels}={deepest} over "
-                    f"model={n_model}")
-            spatial_s = mesh_m.spatial_sharding(mesh)
+        if spatial:
+            if n_model > 1:
+                spatial_s = mesh_m.checked_spatial_sharding(
+                    mesh, img_size, cfg.levels)
+                logger.info(f"Spatial partitioning: H over model={n_model}")
+            else:
+                logger.warning(
+                    "parallel.spatial=true has no effect without a model "
+                    "axis — set parallel.n_model>1")
         train_step = make_train_step(cfg, tcfg, tx, spatial_sharding=spatial_s)
         eval_step = make_eval_step(cfg, tcfg)
         sample_fn = make_sample_fn(cfg, tcfg, img_size, mesh=mesh)

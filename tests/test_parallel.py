@@ -136,10 +136,12 @@ def test_spatial_conv_halo_hazard():
             b = jax.jit(functools.partial(conv, w=w, pad=pad, s=True))(x)
         return float(jnp.max(jnp.abs(a - b)))
 
-    # safe regime (>= 2 rows/shard): exact
-    assert maxdiff(4, 3) == 0.0
-    assert maxdiff(8, 3) == 0.0
-    assert maxdiff(16, 7) == 0.0
+    # safe regime (>= 2 rows/shard): exact up to reduction-order noise
+    # (measured bitwise-equal on this build; the tolerance guards against
+    # a future XLA accumulation-order change, not the O(1) miscompile)
+    assert maxdiff(4, 3) < 1e-5
+    assert maxdiff(8, 3) < 1e-5
+    assert maxdiff(16, 7) < 1e-5
     # hazardous regime — recorded, not asserted (XLA-version dependent)
     hazard = maxdiff(2, 3)
     print(f"spatial conv 3x3 at 1 row/shard maxdiff={hazard} "
