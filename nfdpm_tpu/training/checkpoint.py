@@ -89,7 +89,18 @@ def restore_state(run_dir: str, prefix: str, epoch: int, template: Any) -> Any:
         return ckptr.restore(path, abstract)
 
 
-def restore_params(run_dir: str, prefix: str, epoch: int) -> Any:
+def checkpoint_keys(run_dir: str, prefix: str, epoch: int) -> list:
+    """Top-level keys of a saved state tree (from Orbax metadata, no tensor
+    reads) — used to reconcile EMA-carrying checkpoints against templates."""
+    wait_for_saves()
+    path = os.path.abspath(
+        os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        return list(ckptr.metadata(path).item_metadata.tree.keys())
+
+
+def restore_params(run_dir: str, prefix: str, epoch: int,
+                   prefer_ema: bool = False) -> Any:
     """Restore ONLY the `params` subtree, templated from the checkpoint's
     own shape/dtype metadata.
 
@@ -98,7 +109,11 @@ def restore_params(run_dir: str, prefix: str, epoch: int) -> Any:
     is not recorded in architecture.json), and the explicit default-device
     sharding on the abstract leaves means checkpoints saved under ANY mesh
     topology restore cleanly on the current host. This is the right call
-    for inference-only consumers (generation/interpolation tools)."""
+    for inference-only consumers (generation/interpolation tools).
+
+    `prefer_ema=True` substitutes the checkpoint's EMA weights (diffusion
+    trainer's `ema_decay`) over the live params where present — the right
+    weights for generation quality; a no-op for checkpoints without EMA."""
     wait_for_saves()
     path = os.path.abspath(
         os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
@@ -108,7 +123,11 @@ def restore_params(run_dir: str, prefix: str, epoch: int) -> Any:
         abstract = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
             meta)
-        return ckptr.restore(path, abstract)["params"]
+        tree = ckptr.restore(path, abstract)
+        params = tree["params"]
+        if prefer_ema and "ema" in tree:
+            params = {**params, **tree["ema"]}
+        return params
 
 
 def latest_epoch(run_dir: str, prefix: str) -> Optional[int]:

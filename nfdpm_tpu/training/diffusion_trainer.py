@@ -18,6 +18,10 @@ Capability-parity re-design of /root/reference/diffusion_prior/trainer.py:
     flow invert -> uint8 (trainer.py:181-182, 210-211).
   * Final eval: VLB-based BPD (fixing the reference's dead+buggy
     `calculate_bpd_with_diff_prior` accumulator, trainer.py:45) + FID/KID.
+  * Optional EMA (`ema_decay`): an exponential moving average of the
+    trainable params updated inside the jitted step; all sampling and eval
+    reads go through `ema_eval_params`. Standard DDPM practice the
+    reference dropped when vendoring lucidrains' trainer.
 """
 
 from __future__ import annotations
@@ -59,6 +63,14 @@ class DiffusionTrainConfig:
     compat_three_channel_bpd: bool = True  # reference hardcodes n_pixel =
     # img_size^2 * 3.0 even for 1-channel MNIST (diffusion_prior/trainer.py:134
     # analogue); set False for the channel-correct count.
+    ema_decay: Optional[float] = None  # e.g. 0.9995: keep an exponential
+    # moving average of the TRAINABLE params (diffusion parts; + flow when
+    # unfrozen) and sample/evaluate from it. Standard DDPM practice for FID
+    # quality (lucidrains' upstream trainer has EMA; the reference dropped
+    # it when vendoring — greenfield capability). Decay warms up as
+    # min(ema_decay, (1+n)/(10+n)) so early steps track the live params
+    # without a bias-correction buffer. The update is one fused lerp inside
+    # the jitted train step.
 
 
 def make_two_group_optimizer(
@@ -131,12 +143,37 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
-        return (
-            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
-            {"loss": loss, "part_losses": part_losses},
-        )
+        out = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        if tcfg.ema_decay is not None:
+            # warmup-scheduled decay; see DiffusionTrainConfig.ema_decay
+            n = state["step"].astype(jnp.float32)
+            d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
+            live = _ema_subtree(params, backbone.frozen)
+            out["ema"] = jax.tree.map(
+                lambda e, p: e + (1.0 - d) * (p - e), state["ema"], live)
+        return out, {"loss": loss, "part_losses": part_losses}
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _ema_subtree(params, frozen: bool):
+    """The subtree the EMA shadows: the diffusion parts, plus the flow when
+    it co-trains. A frozen flow never changes, so shadowing it would only
+    duplicate its HBM footprint."""
+    if frozen:
+        return {"diffusion": params["diffusion"]}
+    return {"flow": params["flow"], "diffusion": params["diffusion"]}
+
+
+def ema_eval_params(state):
+    """Full params tree with EMA weights substituted where tracked; the
+    identity when the state carries no EMA. Sampling/eval should always go
+    through this."""
+    ema = state.get("ema")
+    if ema is None:
+        return state["params"]
+    return {"flow": ema.get("flow", state["params"]["flow"]),
+            "diffusion": ema["diffusion"]}
 
 
 def make_sample_fn(backbone: NFBackbone, dp: DiffusionPrior,
@@ -168,11 +205,16 @@ def make_sample_fn(backbone: NFBackbone, dp: DiffusionPrior,
 
 
 def init_train_state(
-    seed: int, backbone: NFBackbone, flow_params, dp: DiffusionPrior, tx
+    seed: int, backbone: NFBackbone, flow_params, dp: DiffusionPrior, tx,
+    ema: bool = False,
 ) -> Dict[str, Any]:
     params = {"flow": flow_params, "diffusion": dp.init_params(seed)}
-    return {"params": params, "opt_state": tx.init(params),
-            "step": jnp.zeros((), jnp.int32)}
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.zeros((), jnp.int32)}
+    if ema:
+        state["ema"] = jax.tree.map(jnp.copy,
+                                    _ema_subtree(params, backbone.frozen))
+    return state
 
 
 def shard_diffusion_state(mesh, tx, state, *, fsdp: bool = False):
@@ -197,8 +239,14 @@ def shard_diffusion_state(mesh, tx, state, *, fsdp: bool = False):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         state["params"], specs)
     opt_state = shard_opt_state(mesh, tx, state["opt_state"], specs)
-    return {"params": params, "opt_state": opt_state,
-            "step": jax.device_put(state["step"], NamedSharding(mesh, P()))}
+    out = {"params": params, "opt_state": opt_state,
+           "step": jax.device_put(state["step"], NamedSharding(mesh, P()))}
+    if "ema" in state:  # shadow shards exactly like the params it mirrors
+        ema_specs = {k: specs[k] for k in state["ema"]}
+        out["ema"] = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            state["ema"], ema_specs)
+    return out
 
 
 def calculate_bpd_with_diff_prior(
@@ -281,10 +329,32 @@ def train(
     loss_name = dp.parts[0].cfg.loss_type + ("" if backbone.frozen else "_plus_bpd")
 
     with mesh:
-        state = init_train_state(seed, backbone, flow_params, dp, tx)
+        state = init_train_state(seed, backbone, flow_params, dp, tx,
+                                 ema=tcfg.ema_decay is not None)
         start_epoch, current_iter = 0, 0
         if resume_dir is not None and resume_epoch is not None:
-            state = restore_state(resume_dir, "diffusion", resume_epoch, state)
+            from .checkpoint import checkpoint_keys
+
+            has_ema = "ema" in checkpoint_keys(resume_dir, "diffusion",
+                                               resume_epoch)
+            want_ema = "ema" in state
+            if has_ema and not want_ema:  # restore through an ema-ful
+                # template, then drop the shadow (ema_decay turned off)
+                template = dict(
+                    state, ema=_ema_subtree(state["params"], backbone.frozen))
+                state = restore_state(resume_dir, "diffusion", resume_epoch,
+                                      template)
+                state.pop("ema")
+            elif want_ema and not has_ema:  # ema newly enabled: seed the
+                # shadow from the restored live params
+                template = {k: v for k, v in state.items() if k != "ema"}
+                state = restore_state(resume_dir, "diffusion", resume_epoch,
+                                      template)
+                state["ema"] = jax.tree.map(
+                    jnp.copy, _ema_subtree(state["params"], backbone.frozen))
+            else:
+                state = restore_state(resume_dir, "diffusion", resume_epoch,
+                                      state)
             start_epoch, current_iter = resume_epoch, int(state["step"])
             logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
 
@@ -335,7 +405,8 @@ def train(
                         logger.info(f"epoch {epoch} iter {current_iter}: {loss_name} {avg:.4f}")
                         log_count += 1
                         if log_count % tcfg.log_gen_images_per_iter == 0:
-                            samples = sample_fn(state["params"], key, tcfg.n_samples_log,
+                            samples = sample_fn(ema_eval_params(state), key,
+                                                tcfg.n_samples_log,
                                                 tcfg.temperature, np.int32(-current_iter))
                             tracker.track_images(np.asarray(samples), "generated",
                                                  step=current_iter, epoch=epoch)
@@ -351,11 +422,11 @@ def train(
 
                 if epoch % tcfg.save_checkpoint_freq == 0:
                     if evaluate_fn is not None:
-                        evaluate_fn(sample_fn, state["params"], epoch)
+                        evaluate_fn(sample_fn, ema_eval_params(state), epoch)
                     save_state(run_dir, "diffusion", epoch, state,
                                block=False)  # commits on a writer thread
-                    samples = sample_fn(state["params"], key, 64, tcfg.temperature,
-                                        np.int32(epoch))
+                    samples = sample_fn(ema_eval_params(state), key, 64,
+                                        tcfg.temperature, np.int32(epoch))
                     tracker.track_images(np.asarray(samples), "checkpoint_samples",
                                          step=current_iter, epoch=epoch)
         except KeyboardInterrupt:
@@ -372,7 +443,7 @@ def train(
 
         results = {}
         if evaluate_fn is not None:
-            results["metrics"] = evaluate_fn(sample_fn, state["params"], final_epoch,
-                                             full=True)
+            results["metrics"] = evaluate_fn(sample_fn, ema_eval_params(state),
+                                             final_epoch, full=True)
         tracker.close()
         return {"state": state, "results": results, "sample_fn": sample_fn}

@@ -185,8 +185,11 @@ def _diffusion_arch_from_config(run_dir: str) -> Dict[str, Any]:
 
 def load_diffusion_run(
     run_dir: str, epoch: Optional[int] = None, ddim: Optional[int] = None,
-    batch_sharding=None,
+    batch_sharding=None, use_ema: bool = True,
 ) -> DiffusionRun:
+    """`use_ema=True` (default) loads the checkpoint's EMA weights where the
+    run tracked them (diffusion_trainer `ema_decay`) — the right weights for
+    generation; a no-op for runs without EMA."""
     from ..models.diffusion_prior import DiffusionPrior
     from ..models.formaters import get_formater
     from ..models.nf_backbone import NFBackbone
@@ -223,7 +226,8 @@ def load_diffusion_run(
         temperature=float(arch.get("temperature", 1.0)),
     )
     params = jax.tree.map(np.asarray,
-                          restore_params(run_dir, "diffusion", epoch))
+                          restore_params(run_dir, "diffusion", epoch,
+                                         prefer_ema=use_ema))
     return DiffusionRun(
         backbone=backbone, dp=dp, tcfg=tcfg, params=params,
         img_size=img_size, temperature=tcfg.temperature, epoch=epoch,

@@ -103,7 +103,8 @@ def main(argv):
     )
     # mesh first: the prior's sampler chains batch-shard over it (diffusion
     # FID-scale generation runs data-parallel; single device => no-op)
-    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)),
+                            n_slices=int(cfg.select("parallel.n_slices", 1)))
     fsdp = bool(cfg.select("parallel.fsdp", False))
     dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
                         diffusion_kwargs=diffusion_kwargs,
@@ -122,6 +123,8 @@ def main(argv):
         log_gen_images_per_iter=int(cfg.model.logging.log_gen_images_per_iter),
         log_param_distribution=bool(cfg.model.logging.get("log_param_distribution", False)),
         compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
+        ema_decay=(float(ema) if (ema := cfg.select(
+            "model.training.ema_decay")) else None),
     )
 
     # Persist everything a standalone consumer (tools/generate_samples.py,
@@ -207,20 +210,25 @@ def main(argv):
             evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
             spatial=bool(cfg.select("parallel.spatial", False)),
         )
-        _report_vlb(out["state"]["params"])
+        _report_vlb(dt.ema_eval_params(out["state"]))
     elif cfg.phase == "eval":
         if not resume_dir:
             raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
         tx = dt.make_two_group_optimizer(tcfg, frozen)
-        template = dt.init_train_state(0, backbone, flow_params, dp, tx)
-        from nfdpm_tpu.training.checkpoint import restore_state
+        from nfdpm_tpu.training.checkpoint import checkpoint_keys, restore_state
 
+        # evaluate EMA weights whenever the checkpoint carries them,
+        # regardless of the eval config's ema_decay setting
+        has_ema = "ema" in checkpoint_keys(resume_dir, "diffusion", resume_epoch)
+        template = dt.init_train_state(0, backbone, flow_params, dp, tx,
+                                       ema=has_ema)
         state = restore_state(resume_dir, "diffusion", resume_epoch, template)
         state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
         sample_fn = dt.make_sample_fn(backbone, dp, tcfg, mesh=mesh)
-        _report_vlb(state["params"])
+        eval_params = dt.ema_eval_params(state)
+        _report_vlb(eval_params)
         if evaluate_fn is not None:
-            evaluate_fn(sample_fn, state["params"], resume_epoch, full=True)
+            evaluate_fn(sample_fn, eval_params, resume_epoch, full=True)
     else:
         raise ValueError(f"Unknown phase: {cfg.phase}")
 

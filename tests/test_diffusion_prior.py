@@ -213,6 +213,121 @@ class TestDiffusionTrainer:
         assert np.isfinite(bpd)
 
 
+class TestEMA:
+    """`ema_decay`: EMA shadow of the trainable params, updated in-step and
+    used for all sampling/eval (greenfield — the reference dropped
+    lucidrains' EMA when vendoring)."""
+
+    def _run_steps(self, setup, n_steps=3, decay=0.5):
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        backbone, flow_params, dp = setup
+        tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
+                                       ema_decay=decay)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx, ema=True)
+        step = dt.make_train_step(backbone, dp, tcfg, tx)
+        batch = jax.random.uniform(jax.random.PRNGKey(8), (4, 8, 8, 3))
+        key = jax.random.PRNGKey(0)
+        param_traj = [jax.tree.map(np.asarray, state["params"]["diffusion"])]
+        for _ in range(n_steps):
+            state, _ = step(state, batch, key)
+            param_traj.append(jax.tree.map(np.asarray,
+                                           state["params"]["diffusion"]))
+        return dt, tcfg, state, param_traj
+
+    def test_ema_matches_manual_recurrence(self, setup):
+        """state['ema'] after n steps == the hand-computed warmup-decay lerp
+        of the diffusion-param trajectory."""
+        decay = 0.5
+        dt, tcfg, state, traj = self._run_steps(setup, n_steps=3, decay=decay)
+        ema = jax.tree.map(np.asarray, traj[0])
+        for n, params_after in enumerate(traj[1:]):
+            d = min(decay, (1.0 + n) / (10.0 + n))
+            ema = jax.tree.map(lambda e, p, d=d: e + (1.0 - d) * (p - e),
+                               ema, params_after)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, np.asarray(b),
+                                                    rtol=1e-5, atol=1e-6),
+            ema, state["ema"]["diffusion"])
+        # and the shadow genuinely lags the live params
+        gap = jax.tree_util.tree_reduce(
+            lambda acc, pair: acc + pair, jax.tree.map(
+                lambda e, p: float(np.abs(np.asarray(e) - np.asarray(p)).sum()),
+                state["ema"]["diffusion"], state["params"]["diffusion"]), 0.0)
+        assert gap > 0.0
+
+    def test_ema_eval_params_merges_frozen(self, setup):
+        dt, tcfg, state, _ = self._run_steps(setup)
+        ev = dt.ema_eval_params(state)
+        # frozen flow: live flow params pass through untouched
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), ev["flow"], state["params"]["flow"])
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), ev["diffusion"],
+            state["ema"]["diffusion"])
+        # no-EMA state: identity
+        bare = {"params": state["params"], "step": state["step"]}
+        assert dt.ema_eval_params(bare) is bare["params"]
+
+    def test_ema_unfrozen_shadows_flow_too(self, setup):
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        _, flow_params, dp = setup
+        backbone = NFBackbone(cfg=GCFG, img_size=8, frozen=False)
+        tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2, lr_nf=1e-3,
+                                       ema_decay=0.9)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=False)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx, ema=True)
+        assert set(state["ema"]) == {"flow", "diffusion"}
+        step = dt.make_train_step(backbone, dp, tcfg, tx)
+        batch = jax.random.uniform(jax.random.PRNGKey(8), (4, 8, 8, 3))
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        ev = dt.ema_eval_params(state)
+        # unfrozen: eval flow comes from the shadow, not the live params
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), ev["flow"], state["ema"]["flow"])
+
+    def test_ema_checkpoint_roundtrip_and_resume_reconcile(self, setup, tmp_path):
+        from nfdpm_tpu.training import diffusion_trainer as dt
+        from nfdpm_tpu.training.checkpoint import (
+            checkpoint_keys, restore_params, restore_state, save_state)
+
+        backbone, flow_params, dp = setup
+        _, tcfg, state, _ = self._run_steps(setup)
+        run_dir = str(tmp_path / "run")
+        save_state(run_dir, "diffusion", 1, state)
+        assert "ema" in checkpoint_keys(run_dir, "diffusion", 1)
+
+        def assert_same_leaves(a, b):
+            # Orbax restores sequences as lists where the live tree holds
+            # tuples — compare leaf-wise (consumers index either the same)
+            la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+            assert len(la) == len(lb)
+            for x, y in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        # inference consumers get the EMA weights by default
+        p_ema = restore_params(run_dir, "diffusion", 1, prefer_ema=True)
+        assert_same_leaves(p_ema["diffusion"], state["ema"]["diffusion"])
+        p_live = restore_params(run_dir, "diffusion", 1)
+        assert_same_leaves(p_live["diffusion"], state["params"]["diffusion"])
+
+        # full-state restore round-trips the shadow
+        tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+        template = dt.init_train_state(0, backbone, flow_params, dp, tx,
+                                       ema=True)
+        restored = restore_state(run_dir, "diffusion", 1, template)
+        assert_same_leaves(restored["ema"], state["ema"])
+
+        # non-EMA checkpoint + ema config: trainer seeds the shadow from the
+        # live params (exercise the reconcile branch through train())
+        bare = {k: v for k, v in jax.tree.map(np.asarray, state).items()
+                if k != "ema"}
+        save_state(run_dir, "diffusion", 2, bare)
+        assert "ema" not in checkpoint_keys(run_dir, "diffusion", 2)
+
+
 class TestCatFormaterEndToEnd:
     def test_cat_formater_diffusion_pipeline(self):
         """CatFormater -> ONE diffusion model over the concatenated latent;

@@ -49,7 +49,7 @@ def _build_glow(run_dir: str, epoch, mesh=None):
     return sample_fn, params, run.temperature, run.epoch
 
 
-def _build_diffusion(run_dir: str, epoch, ddim, mesh=None):
+def _build_diffusion(run_dir: str, epoch, ddim, mesh=None, use_ema=True):
     import jax
 
     from nfdpm_tpu.training import diffusion_trainer as dt
@@ -61,7 +61,7 @@ def _build_diffusion(run_dir: str, epoch, ddim, mesh=None):
 
         batch_sharding = mesh_m.data_sharding(mesh)
     run = load_diffusion_run(run_dir, epoch, ddim,
-                             batch_sharding=batch_sharding)
+                             batch_sharding=batch_sharding, use_ema=use_ema)
     params = run.params
     if mesh is not None:
         from nfdpm_tpu.parallel import mesh as mesh_m
@@ -116,6 +116,10 @@ def main(argv=None):
                     help="output dir (default: <run-dir>/generated)")
     ap.add_argument("--no-npz", action="store_true",
                     help="skip samples.npz (grid preview only)")
+    ap.add_argument("--no-ema", action="store_true",
+                    help="diffusion runs: sample the live weights instead "
+                         "of the EMA shadow (A/B; EMA is the default when "
+                         "the run tracked one)")
     args = ap.parse_args(argv)
     if args.n < 1 or args.batch < 1:
         ap.error("--n and --batch must be >= 1")
@@ -143,7 +147,7 @@ def main(argv=None):
 
     if prefix == "diffusion":
         sample_fn, params, run_temp, epoch = _build_diffusion(
-            run_dir, epoch, args.ddim, mesh=mesh)
+            run_dir, epoch, args.ddim, mesh=mesh, use_ema=not args.no_ema)
     else:
         sample_fn, params, run_temp, epoch = _build_glow(
             run_dir, epoch, mesh=mesh)

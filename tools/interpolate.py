@@ -61,6 +61,9 @@ def main(argv=None):
                     metavar=("A", "B"), help="test-split endpoint indices")
     ap.add_argument("--steps", type=int, default=8,
                     help="number of lambda values in [0, 1]")
+    ap.add_argument("--no-ema", action="store_true",
+                    help="diffusion runs: use the live weights instead of "
+                         "the EMA shadow")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None,
                     help="output dir (default: <run-dir>/interpolations)")
@@ -90,7 +93,8 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     if kind == "diffusion":
-        run = load_diffusion_run(run_dir, args.epoch)
+        run = load_diffusion_run(run_dir, args.epoch,
+                                 use_ema=not args.no_ema)
         n_bits = run.tcfg.n_bits
         raw = _load_endpoint_images(run_dir, run.img_size, args.idx)
 

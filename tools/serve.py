@@ -53,7 +53,8 @@ def build_sampler(args):
         mesh = mesh_m.make_mesh()
     if kind == "diffusion":
         sample_fn, params, run_temp, epoch = _build_diffusion(
-            run_dir, epoch, args.ddim, mesh=mesh)
+            run_dir, epoch, args.ddim, mesh=mesh,
+            use_ema=not getattr(args, "no_ema", False))
     else:
         sample_fn, params, run_temp, epoch = _build_glow(
             run_dir, epoch, mesh=mesh)
@@ -153,6 +154,9 @@ def main(argv=None):
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--batch", type=int, default=64,
                     help="compiled sampler batch size")
+    ap.add_argument("--no-ema", action="store_true",
+                    help="diffusion runs: serve the live weights instead of "
+                         "the EMA shadow")
     ap.add_argument("--ddim", type=int, default=None,
                     help="diffusion runs: sampling_timesteps override")
     ap.add_argument("--data-parallel", action="store_true",
