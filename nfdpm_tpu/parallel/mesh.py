@@ -28,12 +28,58 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    n_slices: int = 1,
 ) -> Mesh:
+    """("data", "model") mesh over the available devices.
+
+    `n_slices > 1` builds a multi-slice (DCN-connected) layout: data
+    parallelism spans slices while every model-parallel group stays INSIDE
+    one slice, so TP collectives ride ICI and only the once-per-step
+    gradient all-reduce crosses DCN — the hierarchical-bandwidth recipe.
+    The axis names don't change: "data" is simply laid out slice-major, so
+    every existing P("data")/P("model") spec works unmodified and XLA
+    derives the hierarchical collectives from the device assignment."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_slices > 1:
+        return _hybrid_mesh(devices, n_data, n_model, n_slices)
     dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev_array, ("data", "model"))
+
+
+def _hybrid_mesh(devices, n_data: int, n_model: int, n_slices: int) -> Mesh:
+    """Slice-major ("data", "model") mesh for multi-slice topologies.
+
+    On real multi-slice TPU (devices carry `slice_index`) the per-slice
+    ICI layout comes from mesh_utils.create_hybrid_device_mesh; elsewhere
+    (virtual CPU meshes, single-slice) slices are emulated as contiguous
+    equal blocks of the device list — the same slice-major order real
+    hardware enumerates."""
+    if n_data % n_slices:
+        raise ValueError(
+            f"data axis ({n_data}) must be divisible by n_slices ({n_slices})"
+            " — data parallelism is what spans DCN")
+    per_slice_data = n_data // n_slices
+    n_per_slice = per_slice_data * n_model
+    if n_slices * n_per_slice > len(devices):
+        raise ValueError(
+            f"need {n_slices * n_per_slice} devices for "
+            f"(data={n_data}, model={n_model}) over {n_slices} slices; "
+            f"have {len(devices)}")
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_slice_data, n_model),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devices,
+        )
+    else:
+        dev_array = np.asarray(
+            devices[: n_slices * n_per_slice]
+        ).reshape(n_slices * per_slice_data, n_model)
+    return Mesh(dev_array.reshape(n_data, n_model), ("data", "model"))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -94,7 +94,8 @@ def main(argv):
     kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
     ssim_cfg = cfg.select("model.evaluation.metrics.SSIM_and_PSNR")
     evaluate_fn = None
-    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)))
+    mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)),
+                            n_slices=int(cfg.select("parallel.n_slices", 1)))
     fsdp = bool(cfg.select("parallel.fsdp", False))
     if fid_cfgs or kid_cfgs or ssim_cfg:
         from nfdpm_tpu.metrics.compute import make_nf_evaluate_fn

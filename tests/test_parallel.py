@@ -68,6 +68,48 @@ def test_dp_tp_train_step_matches_single_device():
     )
 
 
+def test_hybrid_mesh_slice_major_layout():
+    """n_slices>1: "data" is slice-major and every model-parallel group
+    stays inside one slice block (TP inside ICI, DP across DCN). Virtual
+    CPU devices carry no slice_index, so slices are emulated as contiguous
+    blocks — the same enumeration order as real multi-slice hardware."""
+    import pytest
+
+    mesh = mesh_m.make_mesh(n_model=2, n_slices=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    n_per_slice = 4  # 8 devices / 2 slices
+    for row in ids:  # each model group within ONE slice block
+        assert len({int(i) // n_per_slice for i in row}) == 1
+    # slice-major data axis: first half of the rows on slice 0
+    row_slices = [int(r[0]) // n_per_slice for r in ids]
+    assert row_slices == sorted(row_slices)
+
+    with pytest.raises(ValueError, match="divisible by n_slices"):
+        mesh_m.make_mesh(n_data=3, n_model=2, n_slices=2)
+    with pytest.raises(ValueError, match="need"):
+        mesh_m.make_mesh(n_data=8, n_model=2, n_slices=2)
+
+
+def test_hybrid_mesh_train_step_matches_single_device():
+    """Same step math on the (data=4, model=2) two-slice mesh as on one
+    device — the hybrid layout changes device placement only."""
+    tx = make_optimizer("adam", 1e-3)
+    key = jax.random.PRNGKey(0)
+    state = nft.init_train_state(0, CFG, TCFG, tx)
+    train_step = nft.make_train_step(CFG, TCFG, tx)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    s1, m1 = train_step(jax.tree.map(jnp.copy, state), batch, key)
+
+    mesh = mesh_m.make_mesh(n_model=2, n_slices=2)
+    with mesh:
+        state2 = nft.init_train_state(0, CFG, TCFG, tx)
+        state2 = nft.shard_nf_state(mesh, tx, state2)
+        sbatch = mesh_m.shard_batch(mesh, batch)
+        s2, m2 = train_step(state2, sbatch, key)
+    np.testing.assert_allclose(float(m1["bpd"]), float(m2["bpd"]), rtol=1e-5)
+
+
 def test_spatial_train_step_matches_single_device():
     """Spatial partitioning (image height over "model", mesh.spatial_sharding):
     the constrained train step computes the same loss and parameter update as
