@@ -19,4 +19,4 @@ utils     : config system (YAML + dotted CLI overrides), RNG helpers,
             environment/seed utilities.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
