@@ -36,6 +36,7 @@ loss curves against joint training.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -207,6 +208,162 @@ class PartParallelPlan:
             parts.append(host(src))
         return {"flow": host(self.states[0]["params"]["flow"]),
                 "diffusion": {"parts": tuple(parts)}}
+
+
+def train_part_parallel(
+    *,
+    backbone: NFBackbone,
+    flow_params,
+    dp: DiffusionPrior,
+    tcfg,
+    loaders,
+    run_dir: str,
+    logger,
+    seed: int = 42,
+    resume_dir: Optional[str] = None,
+    resume_epoch: Optional[int] = None,
+    evaluate_fn=None,
+    sample_mesh=None,
+    devices: Optional[Sequence[jax.Device]] = None,
+    n_model: int = 1,
+) -> Dict[str, Any]:
+    """Part-parallel counterpart of diffusion_trainer.train (same surface,
+    same run-dir artifacts).
+
+    Batches round-robin over the part groups: batch i goes to group
+    i % num_parts, dispatched immediately — async dispatch keeps disjoint
+    groups running concurrently with zero lockstep barriers. Per epoch
+    every part therefore sees ~1/num_parts of the data (module docstring);
+    scale `epochs` accordingly vs joint training.
+
+    Checkpoints: every save writes TWO trees —
+      * `model_diffusion_parts_*`: the exact per-group states (params +
+        Adam moments + EMA), the resume source for this trainer;
+      * `model_diffusion_*`: the merged joint-layout view
+        {"params": {flow, diffusion}, "ema"?, "step"} that every
+        downstream consumer (phase=eval, generation/interpolation/serve
+        CLIs, VLB eval, runload) reads unchanged.
+    """
+    from ..training.checkpoint import restore_state, save_state, wait_for_saves
+    from ..training.diffusion_trainer import make_sample_fn
+    from ..training.tracking import Tracker
+    from ..utils.profiling import StepTimer
+
+    if not backbone.frozen:
+        raise ValueError("part-parallel training requires a frozen flow")
+    plan = PartParallelPlan.build(seed, backbone, flow_params, dp, tcfg,
+                                  devices=devices, n_model=n_model)
+    n_parts = dp.num_parts
+    logger.info(
+        f"Part-parallel: {n_parts} groups x "
+        f"{plan.meshes[0].devices.size} devices (n_model={n_model})")
+    tracker = Tracker(run_dir)
+    loss_name = dp.parts[0].cfg.loss_type
+
+    start_epoch, current_iter = 0, 0
+    if resume_dir is not None and resume_epoch is not None:
+        host = {"groups": [jax.tree.map(np.asarray, s) for s in plan.states]}
+        restored = restore_state(resume_dir, "diffusion_parts", resume_epoch,
+                                 host)
+        plan.states = [
+            _place_group_state(plan.meshes[g], plan.tx, s, n_model)
+            for g, s in enumerate(restored["groups"])
+        ]
+        start_epoch = resume_epoch
+        current_iter = sum(int(s["step"]) for s in plan.states)
+        logger.info(f"Resumed part states from {resume_dir} @ {resume_epoch}")
+
+    def _joint_view():
+        live = plan.joint_params(prefer_ema=False)
+        view = {"params": live,
+                "step": jnp.asarray(current_iter, jnp.int32)}
+        if tcfg.ema_decay is not None:
+            view["ema"] = {
+                "diffusion": plan.joint_params(prefer_ema=True)["diffusion"]}
+        return view
+
+    def _save(epoch: int, block: bool = True):
+        wait_for_saves()
+        save_state(run_dir, "diffusion_parts", epoch,
+                   {"groups": [jax.tree.map(np.asarray, s)
+                               for s in plan.states]}, block=block)
+        save_state(run_dir, "diffusion", epoch, _joint_view(), block=block)
+
+    sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=sample_mesh)
+    key = jax.random.PRNGKey(seed)
+    log_count = 0
+    epoch = start_epoch
+    try:
+        for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
+            t0 = time.time()
+            timer = StepTimer()
+            pending = [[] for _ in range(n_parts)]
+            for i, (batch, _labels) in enumerate(iter(loaders.train)):
+                g = i % n_parts
+                sharded = plan.shard_group_batch(g, jnp.asarray(batch))
+                with timer.step():
+                    with plan.meshes[g]:
+                        plan.states[g], loss = plan.steps[g](
+                            plan.states[g], sharded, key)
+                current_iter += 1
+                pending[g].append(loss)
+
+                if current_iter % tcfg.print_freq == 0:
+                    per_part = [float(jnp.mean(jnp.stack(p))) if p else
+                                float("nan") for p in pending]
+                    pending = [[] for _ in range(n_parts)]
+                    avg = float(np.nanmean(per_part))
+                    tracker.track(avg, loss_name, step=current_iter,
+                                  epoch=epoch, context={"subset": "train"})
+                    logger.info(
+                        f"epoch {epoch} iter {current_iter}: {loss_name} "
+                        f"{avg:.4f} (per-part "
+                        f"{['%.4f' % x for x in per_part]})")
+                    log_count += 1
+                    if log_count % tcfg.log_gen_images_per_iter == 0:
+                        samples = sample_fn(
+                            _joint_view_params(plan), key,
+                            tcfg.n_samples_log, tcfg.temperature,
+                            np.int32(-current_iter))
+                        tracker.track_images(np.asarray(samples), "generated",
+                                             step=current_iter, epoch=epoch)
+
+            dt_s = time.time() - t0
+            ts = timer.summary()
+            logger.info(f"epoch {epoch} done in {dt_s:.1f}s "
+                        f"(group-step p50 {ts.get('p50_ms', 0):.1f}ms "
+                        f"p95 {ts.get('p95_ms', 0):.1f}ms)")
+
+            if epoch % tcfg.save_checkpoint_freq == 0:
+                merged = _joint_view_params(plan)
+                if evaluate_fn is not None:
+                    evaluate_fn(sample_fn, merged, epoch)
+                _save(epoch, block=False)
+                samples = sample_fn(merged, key, 64, tcfg.temperature,
+                                    np.int32(epoch))
+                tracker.track_images(np.asarray(samples), "checkpoint_samples",
+                                     step=current_iter, epoch=epoch)
+    except KeyboardInterrupt:
+        _save(epoch)
+        logger.warning(f"Interrupted — emergency checkpoint at epoch {epoch}")
+        raise
+
+    final_epoch = start_epoch + tcfg.epochs
+    _save(final_epoch)
+
+    results = {}
+    if evaluate_fn is not None:
+        results["metrics"] = evaluate_fn(sample_fn, _joint_view_params(plan),
+                                         final_epoch, full=True)
+    tracker.close()
+    state = _joint_view()
+    return {"state": state, "results": results, "sample_fn": sample_fn,
+            "plan": plan}
+
+
+def _joint_view_params(plan: "PartParallelPlan"):
+    """Merged params for sampling/eval: EMA where tracked, live otherwise."""
+    return plan.joint_params(prefer_ema=plan.tcfg.ema_decay is not None)
 
 
 def _place_group_state(mesh, tx, state, n_model: int):

@@ -203,29 +203,49 @@ def main(argv):
         resume_dir = os.path.join("outputs", resume_dir)
 
     if parse_train_eval_mode(cfg.phase):
-        out = dt.train(
-            backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
-            loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),
-            resume_dir=resume_dir, resume_epoch=resume_epoch,
-            evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
-            spatial=bool(cfg.select("parallel.spatial", False)),
-        )
+        if bool(cfg.select("parallel.part_parallel", False)):
+            # MPMD part-parallel stage 2: each diffusion part on its own
+            # disjoint device group (parallel/part_parallel.py). Composes
+            # with in-group TP (parallel.n_model); FSDP/spatial address the
+            # joint step's memory and don't apply here.
+            if not frozen:
+                raise ValueError("parallel.part_parallel requires a frozen "
+                                 "flow (unfrozen gradients couple the parts)")
+            if fsdp or bool(cfg.select("parallel.spatial", False)):
+                raise ValueError("parallel.part_parallel composes with "
+                                 "n_model (in-group TP) only — disable "
+                                 "parallel.fsdp/parallel.spatial")
+            from nfdpm_tpu.parallel import part_parallel as pp
+
+            out = pp.train_part_parallel(
+                backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
+                loaders=loaders, run_dir=run_dir, logger=logger,
+                seed=int(cfg.seed), resume_dir=resume_dir,
+                resume_epoch=resume_epoch, evaluate_fn=evaluate_fn,
+                sample_mesh=mesh,
+                n_model=int(cfg.select("parallel.n_model", 1)),
+            )
+        else:
+            out = dt.train(
+                backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
+                loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),
+                resume_dir=resume_dir, resume_epoch=resume_epoch,
+                evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
+                spatial=bool(cfg.select("parallel.spatial", False)),
+            )
         _report_vlb(dt.ema_eval_params(out["state"]))
     elif cfg.phase == "eval":
         if not resume_dir:
             raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
-        tx = dt.make_two_group_optimizer(tcfg, frozen)
-        from nfdpm_tpu.training.checkpoint import checkpoint_keys, restore_state
+        from nfdpm_tpu.training.checkpoint import restore_params
 
-        # evaluate EMA weights whenever the checkpoint carries them,
-        # regardless of the eval config's ema_decay setting
-        has_ema = "ema" in checkpoint_keys(resume_dir, "diffusion", resume_epoch)
-        template = dt.init_train_state(0, backbone, flow_params, dp, tx,
-                                       ema=has_ema)
-        state = restore_state(resume_dir, "diffusion", resume_epoch, template)
-        state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
+        # params-only restore, templated from the checkpoint's own metadata:
+        # optimizer- and topology-agnostic (adamw / FSDP-sharded /
+        # part-parallel joint-view checkpoints all load), and it substitutes
+        # the EMA weights whenever the run tracked them.
+        eval_params = jax.device_put(jax.tree.map(np.asarray, restore_params(
+            resume_dir, "diffusion", resume_epoch, prefer_ema=True)))
         sample_fn = dt.make_sample_fn(backbone, dp, tcfg, mesh=mesh)
-        eval_params = dt.ema_eval_params(state)
         _report_vlb(eval_params)
         if evaluate_fn is not None:
             evaluate_fn(sample_fn, eval_params, resume_epoch, full=True)

@@ -4,6 +4,8 @@ communication (parallel/part_parallel.py — greenfield; the reference
 trains all parts jointly on one GPU, diffusion_prior/trainer.py:140-141).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,3 +179,127 @@ def test_unfrozen_flow_rejected(setup):
     with pytest.raises(ValueError, match="frozen"):
         pp.make_part_train_step(backbone, dp, 0, tcfg,
                                 pp.make_part_optimizer(tcfg))
+
+
+def test_train_part_parallel_driver(setup, tmp_path):
+    """The full part-parallel trainer: epochs loop, round-robin dispatch,
+    dual checkpoints (exact per-group resume source + merged joint view
+    every downstream consumer reads), resume continuation."""
+    import logging
+
+    from nfdpm_tpu.data.pipeline import read_dataset
+    from nfdpm_tpu.training.checkpoint import restore_params
+
+    backbone, flow_params, dp = setup
+    loaders = read_dataset("synthetic", root="", batch_size=8, img_size=8,
+                           synthetic_n=48)
+    tcfg = dt.DiffusionTrainConfig(epochs=2, lr_diffusion=1e-2,
+                                   save_checkpoint_freq=1, print_freq=4,
+                                   ema_decay=0.5)
+    run_dir = str(tmp_path / "run")
+    logger = logging.getLogger("pp_test")
+    out = pp.train_part_parallel(
+        backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
+        loaders=loaders, run_dir=run_dir, logger=logger, seed=0)
+
+    ckpts = os.listdir(os.path.join(run_dir, "checkpoints"))
+    assert "model_diffusion_002" in ckpts          # joint view
+    assert "model_diffusion_parts_002" in ckpts    # exact resume source
+
+    # the joint-view checkpoint feeds every params-only consumer, EMA first
+    p_ema = restore_params(run_dir, "diffusion", 2, prefer_ema=True)
+    merged = out["plan"].joint_params(prefer_ema=True)
+    for a, b in zip(jax.tree.leaves(p_ema["diffusion"]),
+                    jax.tree.leaves(merged["diffusion"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ema_eval_params consumes the returned joint-view state
+    ev = dt.ema_eval_params(out["state"])
+    for a, b in zip(jax.tree.leaves(ev["diffusion"]),
+                    jax.tree.leaves(merged["diffusion"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the sampler runs off it
+    imgs = out["sample_fn"](ev, jax.random.PRNGKey(1), 4, 1.0)
+    assert imgs.shape == (4, 8, 8, 3)
+
+    # resume: per-group states restore exactly and training continues
+    out2 = pp.train_part_parallel(
+        backbone=backbone, flow_params=flow_params, dp=dp,
+        tcfg=dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
+                                     save_checkpoint_freq=1, print_freq=4,
+                                     ema_decay=0.5),
+        loaders=loaders, run_dir=run_dir, logger=logger, seed=0,
+        resume_dir=run_dir, resume_epoch=2)
+    assert int(out2["state"]["step"]) > int(out["state"]["step"])
+    assert "model_diffusion_003" in os.listdir(
+        os.path.join(run_dir, "checkpoints"))
+
+
+def test_part_parallel_cli(tmp_path, monkeypatch):
+    """parallel.part_parallel=true end-to-end through the stage-2 CLI, then
+    phase=eval and the generation tool consume the joint-view checkpoint."""
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import run_baseline_experiment as base_exp
+    import run_diffusion_prior_experiment as diff_exp
+
+    data_args = ["data.name=synthetic", "data.synthetic_fallback=true",
+                 "data.batch_size=8", "data.img_size=8", "data.synthetic_n=48"]
+    base_exp.main([
+        "experiment_name=nf_pp", *data_args,
+        "model.architecture.L=2", "model.architecture.K=1",
+        "model.architecture.coupling_width=16",
+        "model.training.epochs=1", "model.training.save_checkpoint_freq=1",
+        "model.training.print_freq=4",
+    ])
+    nf_run = [r for r in os.listdir("outputs") if r.startswith("nf_pp")][0]
+
+    diff_args = [
+        *data_args,
+        f"model.normalizing_flow.init_nf.pretrain.dir={nf_run}",
+        "model.normalizing_flow.init_nf.pretrain.epoch=1",
+        "model.unet.dim=8", "model.unet.dim_mults=[1,2]",
+        "model.unet.resnet_block_groups=2",
+        "model.diffusion.timesteps=8", "model.diffusion.sampling_timesteps=4",
+    ]
+    diff_exp.main([
+        "experiment_name=diff_pp", "parallel.part_parallel=true",
+        "model.training.ema_decay=0.9", *diff_args,
+        "model.training.epochs=1", "model.training.save_checkpoint_freq=1",
+        "model.training.print_freq=4",
+    ])
+    diff_run = [r for r in os.listdir("outputs") if r.startswith("diff_pp")][0]
+    ckpts = os.listdir(os.path.join("outputs", diff_run, "checkpoints"))
+    assert "model_diffusion_001" in ckpts
+    assert "model_diffusion_parts_001" in ckpts
+
+    # eval phase reads the joint-view (opt-state-free) checkpoint
+    diff_exp.main([
+        "experiment_name=diff_pp_eval", "phase=eval",
+        f"load.load_exp_dir={diff_run}", "load.load_epoch=1", *diff_args,
+    ])
+
+    # generation CLI consumes the same run dir (EMA weights by default)
+    from tools.generate_samples import main as gen_main
+
+    gen_main(["--run-dir", os.path.join("outputs", diff_run),
+              "--n", "4", "--batch", "4", "--ddim", "2"])
+    samples = np.load(os.path.join(
+        "outputs", diff_run, "generated", "samples.npz"))["samples"]
+    assert samples.shape == (4, 8, 8, 3) and samples.dtype == np.uint8
+
+    # guard rails: unfrozen / fsdp are rejected
+    with pytest.raises(ValueError, match="frozen"):
+        diff_exp.main([
+            "experiment_name=diff_pp_bad", "parallel.part_parallel=true",
+            "model.normalizing_flow.freeze=false",
+            "model.normalizing_flow.lr=1e-4", *diff_args,
+            "model.training.epochs=1",
+        ])
+    with pytest.raises(ValueError, match="composes"):
+        diff_exp.main([
+            "experiment_name=diff_pp_bad2", "parallel.part_parallel=true",
+            "parallel.fsdp=true", *diff_args, "model.training.epochs=1",
+        ])
