@@ -66,7 +66,8 @@ class NFTrainConfig:
 
 
 def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
-                    inject_noise: bool = False, spatial_sharding=None):
+                    inject_noise: bool = False, spatial_sharding=None,
+                    pp=None):
     """Build the jitted train step: (state, batch, base_key) -> (state, metrics).
 
     The per-step dequantization key is folded from (base_key, state.step)
@@ -82,8 +83,17 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
     `spatial_sharding` (a NamedSharding, see mesh.spatial_sharding) constrains
     the dequantized NHWC batch to P("data", "model") so the flow forward AND
     backward run spatially partitioned — GSPMD inserts halo exchanges for the
-    3x3 coupling convs and per-device activation memory scales ~1/n_model."""
+    3x3 coupling convs and per-device activation memory scales ~1/n_model.
+
+    `pp` = (mesh, microbatches) routes the flow forward through the
+    pipeline-parallel GPipe schedule (parallel/pipeline.py): the K-step
+    stacks shard over the "model" axis and microbatches flow through the
+    stages via ppermute. Mutually exclusive with spatial_sharding (both
+    claim the "model" axis)."""
     n_bins = q.n_bins_of(tcfg.n_bits)
+    if pp is not None and spatial_sharding is not None:
+        raise ValueError("pipeline and spatial partitioning both use the "
+                         "\"model\" axis — enable at most one")
 
     def loss_fn(params, batch, key_or_noise):
         x = q.preprocess(batch, tcfg.n_bits)
@@ -93,7 +103,13 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
             x = q.dequantize(key_or_noise, x, tcfg.n_bits)
         if spatial_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, spatial_sharding)
-        latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
+        if pp is not None:
+            from ..parallel import pipeline as pl
+
+            latents, ldj, logp = pl.pp_forward(params["flow"], cfg, x,
+                                               pp[0], pp[1])
+        else:
+            latents, ldj, logp = glow_m.forward(params["flow"], cfg, x)
         logp = logp + prior_m.gaussian_prior_logp(params["prior"], latents[-1])
         ll = ldj + logp
         n_pixel = prior_m.n_pixels(
@@ -153,21 +169,37 @@ def make_train_step(cfg: glow_m.GlowConfig, tcfg: NFTrainConfig, tx,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def shard_nf_state(mesh, tx, state, *, fsdp: bool = False):
+def shard_nf_state(mesh, tx, state, *, fsdp: bool = False,
+                   pipeline: bool = False):
     """Re-place a full train state under the mesh's parallelism plan:
     tensor-parallel coupling-width shardings over "model" (when the mesh has
     a model axis) plus, with `fsdp=True`, ZeRO-style partitioning of params
     AND Adam moments over "data" (parallel/sharding_rules.py). Works on
     freshly-initialized and checkpoint-restored states alike — optimizer
-    moments are re-placed, never re-initialized."""
+    moments are re-placed, never re-initialized.
+
+    `pipeline=True` lays the flow out for pipeline parallelism instead of
+    TP: every K-step stack's leading (step) axis shards over "model"
+    (parallel/pipeline.py), so per-stage flow params + Adam moments hold
+    K/S steps."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.sharding_rules import (
         generic_param_specs, glow_param_specs, shard_opt_state)
 
     n_data = mesh.shape["data"] if fsdp else 1
+    if pipeline:
+        if fsdp:
+            raise ValueError("pipeline + fsdp both repartition the flow "
+                             "params — enable at most one")
+        from ..parallel.pipeline import glow_pp_param_specs
+
+        flow_specs = glow_pp_param_specs(state["params"]["flow"])
+    else:
+        flow_specs = glow_param_specs(state["params"]["flow"],
+                                      fsdp_data=n_data)
     specs = {
-        "flow": glow_param_specs(state["params"]["flow"], fsdp_data=n_data),
+        "flow": flow_specs,
         "prior": generic_param_specs(state["params"]["prior"],
                                      fsdp_data=n_data),
     }
@@ -299,13 +331,17 @@ def train(
     mesh=None,
     fsdp: bool = False,
     spatial: bool = False,
+    pipeline_microbatches: int = 0,
 ) -> Dict[str, Any]:
     """Full training driver. `evaluate_fn(sample_fn, params, epoch)` is an
     optional hook for FID/KID evaluation (metrics engine). `fsdp=True`
     partitions params + Adam moments over the mesh "data" axis (ZeRO).
     `spatial=True` additionally shards image HEIGHT over the "model" axis in
     the train step (spatial partitioning — activation-memory lever for very
-    large images; requires img_size/2^L divisible by the model-axis size)."""
+    large images; requires img_size/2^L divisible by the model-axis size).
+    `pipeline_microbatches > 0` instead pipelines the K-step stacks over the
+    "model" axis with that many microbatches per data shard
+    (parallel/pipeline.py; requires K divisible by the model-axis size)."""
     key = jax.random.PRNGKey(seed)
     tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
     mesh = mesh or mesh_m.make_mesh()
@@ -336,11 +372,30 @@ def train(
             logger.info("Data-dependent actnorm initialization done")
 
         n_model = mesh.shape.get("model", 1)
+        pp = None
+        if pipeline_microbatches > 0:
+            if n_model > 1:
+                from ..parallel.pipeline import check_pipeline_config
+
+                local_batch = (loaders.train.batch_size
+                               // mesh.shape.get("data", 1))
+                check_pipeline_config(cfg, n_model, pipeline_microbatches,
+                                      local_batch)
+                pp = (mesh, pipeline_microbatches)
+                logger.info(f"Pipeline parallelism: K={cfg.steps} over "
+                            f"{n_model} stages, "
+                            f"{pipeline_microbatches} microbatches")
+            else:
+                logger.warning(
+                    "parallel.pipeline has no effect without a model axis "
+                    "— set parallel.n_model>1")
         if n_model > 1 or fsdp:
-            state = shard_nf_state(mesh, tx, state, fsdp=fsdp)
+            state = shard_nf_state(mesh, tx, state, fsdp=fsdp,
+                                   pipeline=pp is not None)
             logger.info(
                 f"Param shardings applied: model axis={n_model}"
-                f"{', FSDP over data axis' if fsdp else ''}")
+                f"{', FSDP over data axis' if fsdp else ''}"
+                f"{' (pipeline layout)' if pp is not None else ''}")
 
         save_architecture(
             run_dir,
@@ -369,7 +424,8 @@ def train(
                 logger.warning(
                     "parallel.spatial=true has no effect without a model "
                     "axis — set parallel.n_model>1")
-        train_step = make_train_step(cfg, tcfg, tx, spatial_sharding=spatial_s)
+        train_step = make_train_step(cfg, tcfg, tx, spatial_sharding=spatial_s,
+                                     pp=pp)
         eval_step = make_eval_step(cfg, tcfg)
         sample_fn = make_sample_fn(cfg, tcfg, img_size, mesh=mesh)
 

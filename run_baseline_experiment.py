@@ -126,6 +126,10 @@ def main(argv):
             resume_dir=resume_dir, resume_epoch=resume_epoch,
             evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
             spatial=bool(cfg.select("parallel.spatial", False)),
+            pipeline_microbatches=(
+                int(cfg.select("parallel.pipeline_microbatches", 0))
+                or (mesh.shape.get("model", 1)
+                    if bool(cfg.select("parallel.pipeline", False)) else 0)),
         )
         logger.info(f"Training done: {out['results']}")
     elif cfg.phase == "eval":
