@@ -143,13 +143,33 @@ def make_part_train_step(
             "step": state["step"] + 1,
         }
         if tcfg.ema_decay is not None:
-            n = state["step"].astype(jnp.float32)
-            d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
-            out["ema"] = jax.tree.map(
-                lambda e, p: e + (1.0 - d) * (p - e), state["ema"], part)
+            if tcfg.ema_update_every > 1:
+                out["ema"] = state["ema"]  # periodic update via
+                # make_part_ema_update (same semantics as the joint trainer)
+            else:
+                n = state["step"].astype(jnp.float32)
+                d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
+                out["ema"] = jax.tree.map(
+                    lambda e, p: e + (1.0 - d) * (p - e), state["ema"], part)
         return out, loss
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_part_ema_update(tcfg):
+    """Per-group periodic EMA update (`ema_update_every`>1), mirroring
+    diffusion_trainer.make_ema_update: lerp the part shadow toward the live
+    part params with per-update warmup decay (n = step // k)."""
+    k = max(1, int(tcfg.ema_update_every))
+
+    def apply(state):
+        n = (state["step"] // k).astype(jnp.float32)
+        d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
+        ema = jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e),
+                           state["ema"], state["params"]["part"])
+        return {**state, "ema": ema}
+
+    return jax.jit(apply, donate_argnums=(0,))
 
 
 @dataclasses.dataclass
@@ -166,6 +186,8 @@ class PartParallelPlan:
     states: List[Dict[str, Any]]
     steps: List[Any]
     tx: optax.GradientTransformation
+    ema_fn: Optional[Any] = None  # periodic per-group EMA update
+    n_steps: Optional[List[int]] = None  # host-side per-group step counts
 
     @classmethod
     def build(cls, seed: int, backbone: NFBackbone, flow_params,
@@ -182,8 +204,11 @@ class PartParallelPlan:
             state = _place_group_state(mesh, tx, state, n_model)
             states.append(state)
             steps.append(make_part_train_step(backbone, dp, g, tcfg, tx))
+        ema_fn = (make_part_ema_update(tcfg)
+                  if ema and tcfg.ema_update_every > 1 else None)
         return cls(backbone=backbone, dp=dp, tcfg=tcfg, meshes=meshes,
-                   states=states, steps=steps, tx=tx)
+                   states=states, steps=steps, tx=tx, ema_fn=ema_fn,
+                   n_steps=[0] * len(meshes))
 
     def step_all(self, batches: Sequence[Any], base_key) -> List[jax.Array]:
         """Dispatch every group's step (async — disjoint device sets run
@@ -192,8 +217,18 @@ class PartParallelPlan:
         for g, (step, batch) in enumerate(zip(self.steps, batches)):
             with self.meshes[g]:
                 self.states[g], loss = step(self.states[g], batch, base_key)
+                self._post_step(g)
             losses.append(loss)
         return losses
+
+    def _post_step(self, g: int) -> None:
+        """Host-side per-group bookkeeping: apply the periodic EMA update
+        every `ema_update_every` group-steps (mirrors the joint trainer's
+        `current_iter % k` cadence)."""
+        self.n_steps[g] += 1
+        if self.ema_fn is not None and (
+                self.n_steps[g] % self.tcfg.ema_update_every == 0):
+            self.states[g] = self.ema_fn(self.states[g])
 
     def shard_group_batch(self, g: int, batch) -> Any:
         return jax.device_put(batch, mesh_m.data_sharding(self.meshes[g]))
@@ -269,8 +304,9 @@ def train_part_parallel(
             _place_group_state(plan.meshes[g], plan.tx, s, n_model)
             for g, s in enumerate(restored["groups"])
         ]
+        plan.n_steps = [int(s["step"]) for s in plan.states]
         start_epoch = resume_epoch
-        current_iter = sum(int(s["step"]) for s in plan.states)
+        current_iter = sum(plan.n_steps)
         logger.info(f"Resumed part states from {resume_dir} @ {resume_epoch}")
 
     def _joint_view():
@@ -305,6 +341,7 @@ def train_part_parallel(
                     with plan.meshes[g]:
                         plan.states[g], loss = plan.steps[g](
                             plan.states[g], sharded, key)
+                        plan._post_step(g)
                 current_iter += 1
                 pending[g].append(loss)
 

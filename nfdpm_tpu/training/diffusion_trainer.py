@@ -71,6 +71,12 @@ class DiffusionTrainConfig:
     # min(ema_decay, (1+n)/(10+n)) so early steps track the live params
     # without a bias-correction buffer. The update is one fused lerp inside
     # the jitted train step.
+    ema_update_every: int = 10  # apply the EMA lerp every k-th step as a
+    # separate jitted program instead of inside the hot step (1 = in-step).
+    # The in-step update measured +39% step time on the tunneled v5e (the
+    # shadow doubles the step's output buffers; tools/bench_ema_overhead.py)
+    # — lucidrains' upstream EMA defaults to update_every=10 for the same
+    # reason. Decay warms up per update: min(d, (1+n)/(10+n)), n = step//k.
 
 
 def make_two_group_optimizer(
@@ -145,15 +151,40 @@ def make_train_step(
         params = jax.tree.map(lambda p, u: p + u, state["params"], updates)
         out = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
         if tcfg.ema_decay is not None:
-            # warmup-scheduled decay; see DiffusionTrainConfig.ema_decay
-            n = state["step"].astype(jnp.float32)
-            d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
-            live = _ema_subtree(params, backbone.frozen)
-            out["ema"] = jax.tree.map(
-                lambda e, p: e + (1.0 - d) * (p - e), state["ema"], live)
+            if tcfg.ema_update_every > 1:
+                # shadow untouched in the hot step; the trainer applies
+                # make_ema_update every `ema_update_every` steps (the
+                # update's dispatch+traffic cost measured +39%/step on the
+                # tunneled chip — tools/bench_ema_overhead.py)
+                out["ema"] = state["ema"]
+            else:
+                # warmup-scheduled decay; see DiffusionTrainConfig.ema_decay
+                n = state["step"].astype(jnp.float32)
+                d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
+                live = _ema_subtree(params, backbone.frozen)
+                out["ema"] = jax.tree.map(
+                    lambda e, p: e + (1.0 - d) * (p - e), state["ema"], live)
         return out, {"loss": loss, "part_losses": part_losses}
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_ema_update(backbone: NFBackbone, tcfg: DiffusionTrainConfig):
+    """Periodic EMA update as its own jitted program (`ema_update_every`>1):
+    state -> state with the shadow lerped toward the live params. Decay
+    warms up per UPDATE (n = step // k), lucidrains' update_every
+    semantics — the k-step stride is one EMA application, not k."""
+    k = max(1, int(tcfg.ema_update_every))
+
+    def apply(state):
+        n = (state["step"] // k).astype(jnp.float32)
+        d = jnp.minimum(tcfg.ema_decay, (1.0 + n) / (10.0 + n))
+        live = _ema_subtree(state["params"], backbone.frozen)
+        ema = jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e),
+                           state["ema"], live)
+        return {**state, "ema": ema}
+
+    return jax.jit(apply, donate_argnums=(0,))
 
 
 def _ema_subtree(params, frozen: bool):
@@ -377,6 +408,9 @@ def train(
                     "axis — set parallel.n_model>1")
         train_step = make_train_step(backbone, dp, tcfg, tx,
                                      spatial_sharding=spatial_s)
+        ema_fn = (make_ema_update(backbone, tcfg)
+                  if tcfg.ema_decay is not None and tcfg.ema_update_every > 1
+                  else None)
         sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=mesh)
 
         from ..data.pipeline import prefetch_to_device
@@ -395,6 +429,9 @@ def train(
                     with timer.step():
                         state, metrics = train_step(state, batch, key)
                     current_iter += 1
+                    if ema_fn is not None and (
+                            current_iter % tcfg.ema_update_every == 0):
+                        state = ema_fn(state)
                     pending.append(metrics["loss"])
 
                     if current_iter % tcfg.print_freq == 0:

@@ -125,6 +125,8 @@ def main(argv):
         compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
         ema_decay=(float(ema) if (ema := cfg.select(
             "model.training.ema_decay")) else None),
+        ema_update_every=int(cfg.select("model.training.ema_update_every",
+                                        10)),
     )
 
     # Persist everything a standalone consumer (tools/generate_samples.py,

@@ -223,7 +223,8 @@ class TestEMA:
 
         backbone, flow_params, dp = setup
         tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
-                                       ema_decay=decay)
+                                       ema_decay=decay,
+                                       ema_update_every=1)
         tx = dt.make_two_group_optimizer(tcfg, frozen=True)
         state = dt.init_train_state(0, backbone, flow_params, dp, tx, ema=True)
         step = dt.make_train_step(backbone, dp, tcfg, tx)
@@ -276,7 +277,7 @@ class TestEMA:
         _, flow_params, dp = setup
         backbone = NFBackbone(cfg=GCFG, img_size=8, frozen=False)
         tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2, lr_nf=1e-3,
-                                       ema_decay=0.9)
+                                       ema_decay=0.9, ema_update_every=1)
         tx = dt.make_two_group_optimizer(tcfg, frozen=False)
         state = dt.init_train_state(0, backbone, flow_params, dp, tx, ema=True)
         assert set(state["ema"]) == {"flow", "diffusion"}
@@ -287,6 +288,43 @@ class TestEMA:
         # unfrozen: eval flow comes from the shadow, not the live params
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), ev["flow"], state["ema"]["flow"])
+
+    def test_ema_update_every_periodic_semantics(self, setup):
+        """ema_update_every=k: the hot step passes the shadow through
+        untouched; make_ema_update applied every k-th step reproduces the
+        per-update warmup recurrence (n = step // k)."""
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        backbone, flow_params, dp = setup
+        decay, k = 0.5, 2
+        tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
+                                       ema_decay=decay, ema_update_every=k)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx, ema=True)
+        step = dt.make_train_step(backbone, dp, tcfg, tx)
+        ema_fn = dt.make_ema_update(backbone, tcfg)
+        batch = jax.random.uniform(jax.random.PRNGKey(8), (4, 8, 8, 3))
+        key = jax.random.PRNGKey(0)
+
+        ema_ref = jax.tree.map(np.asarray, state["ema"]["diffusion"])
+        for i in range(1, 5):  # trainer cadence: update after steps 2 and 4
+            prev_ema = jax.tree.map(np.asarray, state["ema"]["diffusion"])
+            state, _ = step(state, batch, key)
+            if i % k != 0:
+                # shadow untouched by the hot step
+                jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+                    a, np.asarray(b)), prev_ema, state["ema"]["diffusion"])
+                continue
+            state = ema_fn(state)
+            n = i // k  # per-update warmup with step already incremented
+            d = min(decay, (1.0 + n) / (10.0 + n))
+            ema_ref = jax.tree.map(
+                lambda e, p, d=d: e + (1.0 - d) * (np.asarray(p) - e),
+                ema_ref, state["params"]["diffusion"])
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    a, np.asarray(b), rtol=1e-5, atol=1e-6),
+                ema_ref, state["ema"]["diffusion"])
 
     def test_ema_checkpoint_roundtrip_and_resume_reconcile(self, setup, tmp_path):
         from nfdpm_tpu.training import diffusion_trainer as dt

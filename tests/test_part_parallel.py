@@ -70,7 +70,7 @@ def test_part_parallel_bit_matches_joint_trainer(setup):
     math in the same order)."""
     backbone, flow_params, dp = setup
     tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
-                                   ema_decay=0.5)
+                                   ema_decay=0.5, ema_update_every=1)
     base_key = jax.random.PRNGKey(7)
     batches = [jax.random.uniform(jax.random.PRNGKey(i), (8, 8, 8, 3))
                for i in range(3)]
@@ -181,6 +181,37 @@ def test_unfrozen_flow_rejected(setup):
                                 pp.make_part_optimizer(tcfg))
 
 
+def test_part_parallel_periodic_ema_matches_joint(setup):
+    """ema_update_every=2 on both trainers (same device, identical batches):
+    the part-parallel per-group EMA cadence reproduces the joint trainer's
+    shadow bit-exactly."""
+    backbone, flow_params, dp = setup
+    tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
+                                   ema_decay=0.5, ema_update_every=2)
+    base_key = jax.random.PRNGKey(7)
+    batches = [jax.random.uniform(jax.random.PRNGKey(i), (8, 8, 8, 3))
+               for i in range(4)]
+
+    tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+    jstate = dt.init_train_state(0, backbone, flow_params, dp, tx, ema=True)
+    jstep = dt.make_train_step(backbone, dp, tcfg, tx)
+    ema_fn = dt.make_ema_update(backbone, tcfg)
+    for i, b in enumerate(batches, start=1):
+        jstate, _ = jstep(jstate, b, base_key)
+        if i % 2 == 0:
+            jstate = ema_fn(jstate)
+
+    plan = pp.PartParallelPlan.build(0, backbone, flow_params, dp, tcfg,
+                                     devices=jax.devices()[:1])
+    for b in batches:
+        plan.step_all([b, b], base_key)
+    merged = plan.joint_params(prefer_ema=True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        jax.tree.map(np.asarray, jstate["ema"]["diffusion"]),
+        merged["diffusion"])
+
+
 def test_train_part_parallel_driver(setup, tmp_path):
     """The full part-parallel trainer: epochs loop, round-robin dispatch,
     dual checkpoints (exact per-group resume source + merged joint view
@@ -195,7 +226,7 @@ def test_train_part_parallel_driver(setup, tmp_path):
                            synthetic_n=48)
     tcfg = dt.DiffusionTrainConfig(epochs=2, lr_diffusion=1e-2,
                                    save_checkpoint_freq=1, print_freq=4,
-                                   ema_decay=0.5)
+                                   ema_decay=0.5, ema_update_every=1)
     run_dir = str(tmp_path / "run")
     logger = logging.getLogger("pp_test")
     out = pp.train_part_parallel(
@@ -226,7 +257,7 @@ def test_train_part_parallel_driver(setup, tmp_path):
         backbone=backbone, flow_params=flow_params, dp=dp,
         tcfg=dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-2,
                                      save_checkpoint_freq=1, print_freq=4,
-                                     ema_decay=0.5),
+                                     ema_decay=0.5, ema_update_every=1),
         loaders=loaders, run_dir=run_dir, logger=logger, seed=0,
         resume_dir=run_dir, resume_epoch=2)
     assert int(out2["state"]["step"]) > int(out["state"]["step"])

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(ema_decay, chain, batch, reps):
+def run(ema_decay, chain, batch, reps, update_every=1):
     from nfdpm_tpu.models import glow as glow_m
     from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
     from nfdpm_tpu.models.formaters import IdentityFormater
@@ -36,7 +36,8 @@ def run(ema_decay, chain, batch, reps):
                           "loss_type": "l2"},
     )
     tcfg = dt.DiffusionTrainConfig(epochs=1, lr_diffusion=1e-3,
-                                   ema_decay=ema_decay)
+                                   ema_decay=ema_decay,
+                                   ema_update_every=update_every)
     tx = dt.make_two_group_optimizer(tcfg, frozen=True)
     state = dt.init_train_state(0, backbone, glow_m.init_glow(0, cfg), dp,
                                 tx, ema=ema_decay is not None)
@@ -45,13 +46,19 @@ def run(ema_decay, chain, batch, reps):
         (batch, 32, 32, 3), np.float32))
     key = jax.random.PRNGKey(0)
 
+    ema_fn = (dt.make_ema_update(backbone, tcfg)
+              if ema_decay is not None and update_every > 1 else None)
     state, m = step(state, batch_x, key)  # compile
+    if ema_fn is not None:
+        state = ema_fn(state)
     float(m["loss"])
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(chain):
+        for i in range(1, chain + 1):
             state, m = step(state, batch_x, key)
+            if ema_fn is not None and i % update_every == 0:
+                state = ema_fn(state)
         float(m["loss"])
         times.append((time.perf_counter() - t0) / chain * 1e3)
     return min(times)
@@ -70,9 +77,13 @@ def main(argv=None):
     enable_compilation_cache()
     base = run(None, args.chain, args.batch, args.reps)
     ema = run(args.decay, args.chain, args.batch, args.reps)
+    ema10 = run(args.decay, args.chain, args.batch, args.reps,
+                update_every=10)
     print(f"diffusion train step, batch {args.batch}: "
-          f"no-EMA {base:.3f} ms | EMA {ema:.3f} ms "
-          f"({(ema / base - 1) * 100:+.1f}%)")
+          f"no-EMA {base:.3f} ms | in-step EMA {ema:.3f} ms "
+          f"({(ema / base - 1) * 100:+.1f}%) | "
+          f"update_every=10 {ema10:.3f} ms "
+          f"({(ema10 / base - 1) * 100:+.1f}%)")
 
 
 if __name__ == "__main__":
