@@ -51,7 +51,7 @@ def conv_im2col_concat(x, w):
     return patches @ wmat
 
 
-def bench(fn, x, w, reps=5, chain=50):
+def bench(fn, x, w, reps=5, chain=2000):
     """Chained timing: each step's input depends on the previous output
     (slice back to Cin, zero, re-add x) so steps serialize on-device."""
     cin = x.shape[-1]
