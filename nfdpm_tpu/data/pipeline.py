@@ -112,12 +112,26 @@ class Loader:
         return len(self.dataset)
 
     def __iter__(self) -> Iterator[Batch]:
+        e = self._epoch
+        self._epoch += 1
+        return self.iter_epoch(e)
+
+    def iter_epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
+        """One epoch's batches as a PURE function of (seed, epoch): shuffle
+        order and hflip draws depend on nothing but the arguments, so a
+        resumed run replays the exact data stream of an uninterrupted one
+        (the trainers pass their absolute epoch number here; plain
+        `iter(loader)` keeps an internal counter for ad-hoc consumers).
+
+        `start_batch` skips the first N batches for mid-epoch resume —
+        the skipped batches' hflip draws are still consumed so batch N
+        onward is bit-identical to the full epoch, while the (expensive)
+        gather/normalize work is elided for skipped batches."""
         from . import native
 
         n = len(self.dataset)
         idx = np.arange(n)
-        rng = np.random.default_rng(self.seed + self._epoch)
-        self._epoch += 1
+        rng = np.random.default_rng(self.seed + epoch)
         if self.shuffle:
             rng.shuffle(idx)
         bs = self.batch_size
@@ -128,6 +142,8 @@ class Loader:
                 (rng.random(len(sel)) < 0.5).astype(np.uint8)
                 if self.random_hflip else None
             )
+            if b < start_batch:
+                continue
             # gather + /255 + flip in one native pass (C++; numpy fallback)
             imgs = native.batch_gather_normalize(self.dataset.images, sel, flips)
             yield imgs, self.dataset.labels[sel]
@@ -261,7 +277,9 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
                     else jax.device_put(imgs)
                 q.put((dev,) + tuple(item[1:]))
             q.put(_END)
-        except Exception as e:  # surface errors to the consumer
+        except BaseException as e:  # surface errors to the consumer —
+            # incl. KeyboardInterrupt: swallowing it here would kill the
+            # producer silently and deadlock the consumer on q.get()
             q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -270,6 +288,6 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is _END:
             break
-        if isinstance(item, Exception):
+        if isinstance(item, BaseException):
             raise item
         yield item

@@ -334,7 +334,11 @@ def train_part_parallel(
             t0 = time.time()
             timer = StepTimer()
             pending = [[] for _ in range(n_parts)]
-            for i, (batch, _labels) in enumerate(iter(loaders.train)):
+            # pure-function-of-epoch data order (Loader.iter_epoch): a
+            # resumed run replays the uninterrupted stream, keeping the
+            # round-robin batch->group assignment aligned across resumes
+            for i, (batch, _labels) in enumerate(
+                    loaders.train.iter_epoch(epoch - 1)):
                 g = i % n_parts
                 sharded = plan.shard_group_batch(g, jnp.asarray(batch))
                 with timer.step():

@@ -80,6 +80,35 @@ def wait_for_saves() -> None:
         _async_ckptr.wait_until_finished()
 
 
+def save_mid_epoch_marker(run_dir: str, prefix: str, epoch: int,
+                          batch_in_epoch: int) -> None:
+    """Record that the `model_{prefix}_{epoch:03d}` checkpoint was written
+    MID-epoch, after `batch_in_epoch` train batches of epoch `epoch` —
+    the emergency-interrupt path writes this so a resume can continue from
+    the exact batch (trainers' `resume_batch`) instead of silently skipping
+    the rest of the interrupted epoch. Greenfield vs the reference, whose
+    recovery is whole epochs only (normalizing_flow/trainer.py:111-122)."""
+    with open(os.path.join(_ckpt_dir(run_dir), "mid_epoch.json"), "w") as f:
+        json.dump({"prefix": prefix, "epoch": epoch,
+                   "batch_in_epoch": batch_in_epoch}, f)
+
+
+def load_mid_epoch_marker(run_dir: str) -> Optional[Dict[str, Any]]:
+    path = os.path.join(run_dir, "checkpoints", "mid_epoch.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def clear_mid_epoch_marker(run_dir: str) -> None:
+    """Remove a stale marker (called on any completed-epoch save so the
+    marker never outlives the interrupt it recorded)."""
+    path = os.path.join(run_dir, "checkpoints", "mid_epoch.json")
+    if os.path.exists(path):
+        os.remove(path)
+
+
 def restore_state(run_dir: str, prefix: str, epoch: int, template: Any) -> Any:
     """Restore into the shape/dtype structure of `template`."""
     wait_for_saves()  # the target may still be committing on the writer thread

@@ -348,11 +348,19 @@ def train(
     seed: int = 42,
     resume_dir: Optional[str] = None,
     resume_epoch: Optional[int] = None,
+    resume_batch: Optional[int] = None,
     evaluate_fn=None,
     mesh=None,
     fsdp: bool = False,
     spatial: bool = False,
 ) -> Dict[str, Any]:
+    """Diffusion-prior training driver. Resume semantics match
+    nf_trainer.train: `resume_batch=None` continues after the completed
+    epoch `resume_epoch`; `resume_batch=k` re-enters the interrupted epoch
+    `resume_epoch` at batch k (recorded in `checkpoints/mid_epoch.json` by
+    the interrupt path). Either way the data stream replays bit-exactly —
+    `Loader.iter_epoch` makes each epoch's order a pure function of
+    (seed, epoch)."""
     key = jax.random.PRNGKey(seed)
     tx = make_two_group_optimizer(tcfg, backbone.frozen)
     mesh = mesh or mesh_m.make_mesh()
@@ -386,8 +394,16 @@ def train(
             else:
                 state = restore_state(resume_dir, "diffusion", resume_epoch,
                                       state)
-            start_epoch, current_iter = resume_epoch, int(state["step"])
-            logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
+            # normalize to host arrays: Orbax re-creates leaves with the
+            # SAVED shardings, which may disagree with this run's mesh —
+            # host leaves re-place cleanly under any topology
+            state = jax.tree.map(np.asarray, state)
+            start_epoch = (resume_epoch - 1 if resume_batch is not None
+                           else resume_epoch)
+            current_iter = int(state["step"])
+            logger.info(
+                f"Resumed from {resume_dir} @ epoch {resume_epoch}"
+                + (f" batch {resume_batch}" if resume_batch is not None else ""))
 
         n_model = mesh.shape.get("model", 1)
         if n_model > 1 or fsdp:
@@ -419,16 +435,22 @@ def train(
         data_sharding = mesh_m.data_sharding(mesh)
         log_count = 0
         epoch = start_epoch
+        iters_this_epoch = 0
         try:
             for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
                 t0 = time.time()
                 timer = StepTimer()
                 pending = []  # device scalars; fetched only at print_freq
-                for batch, _labels in prefetch_to_device(iter(loaders.train),
-                                                         sharding=data_sharding):
+                skip = (resume_batch or 0) if (
+                    resume_batch is not None and epoch == resume_epoch) else 0
+                iters_this_epoch = skip
+                for batch, _labels in prefetch_to_device(
+                        loaders.train.iter_epoch(epoch - 1, start_batch=skip),
+                        sharding=data_sharding):
                     with timer.step():
                         state, metrics = train_step(state, batch, key)
                     current_iter += 1
+                    iters_this_epoch += 1
                     if ema_fn is not None and (
                             current_iter % tcfg.ema_update_every == 0):
                         state = ema_fn(state)
@@ -467,9 +489,15 @@ def train(
                     tracker.track_images(np.asarray(samples), "checkpoint_samples",
                                          step=current_iter, epoch=epoch)
         except KeyboardInterrupt:
+            from .checkpoint import save_mid_epoch_marker
+
             wait_for_saves()  # an async save may target this same epoch path
             save_state(run_dir, "diffusion", epoch, state)
-            logger.warning(f"Interrupted — emergency checkpoint at epoch {epoch}")
+            save_mid_epoch_marker(run_dir, "diffusion", epoch, iters_this_epoch)
+            logger.warning(
+                f"Interrupted — emergency checkpoint at epoch {epoch} batch "
+                f"{iters_this_epoch}; resume bit-exactly with "
+                f"load.load_epoch={epoch} load.load_batch={iters_this_epoch}")
             raise
 
         final_epoch = start_epoch + tcfg.epochs
@@ -477,6 +505,9 @@ def train(
         # this same path (final_epoch % save_checkpoint_freq == 0)
         wait_for_saves()
         save_state(run_dir, "diffusion", final_epoch, state)
+        from .checkpoint import clear_mid_epoch_marker
+
+        clear_mid_epoch_marker(run_dir)  # the run completed normally
 
         results = {}
         if evaluate_fn is not None:

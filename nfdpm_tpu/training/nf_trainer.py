@@ -327,6 +327,7 @@ def train(
     img_size: int = 32,
     resume_dir: Optional[str] = None,
     resume_epoch: Optional[int] = None,
+    resume_batch: Optional[int] = None,
     evaluate_fn=None,
     mesh=None,
     fsdp: bool = False,
@@ -334,7 +335,18 @@ def train(
     pipeline_microbatches: int = 0,
 ) -> Dict[str, Any]:
     """Full training driver. `evaluate_fn(sample_fn, params, epoch)` is an
-    optional hook for FID/KID evaluation (metrics engine). `fsdp=True`
+    optional hook for FID/KID evaluation (metrics engine).
+
+    Resume: `resume_epoch=E` (with `resume_batch=None`) means E epochs are
+    complete — training continues at epoch E+1 and, because each epoch's
+    data order is a pure function of (seed, epoch) (`Loader.iter_epoch`),
+    replays exactly the stream the uninterrupted run would have seen.
+    `resume_batch=k` means the checkpoint was written MID-epoch E after k
+    batches (the interrupt path records this in `checkpoints/mid_epoch.json`):
+    epoch E is re-entered at batch k and counts as the first of
+    `tcfg.epochs`. Both paths are bit-exact continuations.
+
+    `fsdp=True`
     partitions params + Adam moments over the mesh "data" axis (ZeRO).
     `spatial=True` additionally shards image HEIGHT over the "model" axis in
     the train step (spatial partitioning — activation-memory lever for very
@@ -353,9 +365,19 @@ def train(
 
         if resume_dir is not None and resume_epoch is not None:
             state = restore_state(resume_dir, "gaussian", resume_epoch, state)
-            start_epoch = resume_epoch
+            # normalize to host arrays: Orbax re-creates leaves with the
+            # SAVED shardings (file metadata), which may disagree with this
+            # run's mesh/template placement — host leaves re-place cleanly
+            # under any topology (cross-topology restore, tests/test_parallel)
+            state = jax.tree.map(np.asarray, state)
+            # resume_batch=k: the checkpoint is mid-epoch `resume_epoch` —
+            # re-enter that epoch at batch k (see docstring)
+            start_epoch = (resume_epoch - 1 if resume_batch is not None
+                           else resume_epoch)
             current_iter = int(state["step"])
-            logger.info(f"Resumed from {resume_dir} @ epoch {resume_epoch}")
+            logger.info(
+                f"Resumed from {resume_dir} @ epoch {resume_epoch}"
+                + (f" batch {resume_batch}" if resume_batch is not None else ""))
         else:
             # data-dependent actnorm init on one preprocessed batch
             init_imgs, _ = next(iter(loaders.train))
@@ -435,16 +457,24 @@ def train(
         data_sharding = mesh_m.data_sharding(mesh)
         log_count = 0
         epoch = start_epoch
+        iters_this_epoch = 0
         try:
             for epoch in range(start_epoch + 1, start_epoch + tcfg.epochs + 1):
                 t0 = time.time()
                 timer = StepTimer()
                 pending = []  # device scalars; fetched only at print_freq
-                for batch, _labels in prefetch_to_device(iter(loaders.train),
-                                                         sharding=data_sharding):
+                # data order is a pure function of (loader seed, epoch) so
+                # resumed runs replay the uninterrupted stream exactly
+                skip = (resume_batch or 0) if (
+                    resume_batch is not None and epoch == resume_epoch) else 0
+                iters_this_epoch = skip
+                for batch, _labels in prefetch_to_device(
+                        loaders.train.iter_epoch(epoch - 1, start_batch=skip),
+                        sharding=data_sharding):
                     with timer.step():
                         state, metrics = train_step(state, batch, key)
                     current_iter += 1
+                    iters_this_epoch += 1
                     pending.append(metrics["bpd"])
 
                     if current_iter % tcfg.print_freq == 0:
@@ -482,9 +512,15 @@ def train(
                                          step=current_iter, epoch=epoch)
 
         except KeyboardInterrupt:
+            from .checkpoint import save_mid_epoch_marker
+
             wait_for_saves()  # an async save may target this same epoch path
             save_state(run_dir, "gaussian", epoch, state)
-            logger.warning(f"Interrupted — emergency checkpoint at epoch {epoch}")
+            save_mid_epoch_marker(run_dir, "gaussian", epoch, iters_this_epoch)
+            logger.warning(
+                f"Interrupted — emergency checkpoint at epoch {epoch} batch "
+                f"{iters_this_epoch}; resume bit-exactly with "
+                f"load.load_epoch={epoch} load.load_batch={iters_this_epoch}")
             raise
 
         final_epoch = start_epoch + tcfg.epochs
@@ -492,6 +528,9 @@ def train(
         # this same path (final_epoch % save_checkpoint_freq == 0)
         wait_for_saves()
         save_state(run_dir, "gaussian", final_epoch, state)
+        from .checkpoint import clear_mid_epoch_marker
+
+        clear_mid_epoch_marker(run_dir)  # the run completed normally
 
         results = {}
         for fold, (split, loader) in enumerate(

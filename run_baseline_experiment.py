@@ -116,6 +116,11 @@ def main(argv):
         )
     resume_dir = cfg.load.load_exp_dir
     resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
+    # load.load_batch=k: the checkpoint was written MID-epoch load_epoch
+    # after k batches (the interrupt path logs the exact overrides) —
+    # resume re-enters that epoch at batch k, bit-exactly
+    resume_batch = (int(rb) if resume_dir and (
+        rb := cfg.select("load.load_batch")) is not None else None)
     if resume_dir:
         resume_dir = os.path.join("outputs", resume_dir)
 
@@ -124,6 +129,7 @@ def main(argv):
             cfg=gcfg, tcfg=tcfg, loaders=loaders, run_dir=run_dir, logger=logger,
             seed=int(cfg.seed), img_size=int(cfg.data.img_size),
             resume_dir=resume_dir, resume_epoch=resume_epoch,
+            resume_batch=resume_batch,
             evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
             spatial=bool(cfg.select("parallel.spatial", False)),
             pipeline_microbatches=(

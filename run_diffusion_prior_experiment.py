@@ -201,6 +201,9 @@ def main(argv):
 
     resume_dir = cfg.load.load_exp_dir
     resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
+    # load.load_batch=k: mid-epoch resume (see run_baseline_experiment.py)
+    resume_batch = (int(rb) if resume_dir and (
+        rb := cfg.select("load.load_batch")) is not None else None)
     if resume_dir:
         resume_dir = os.path.join("outputs", resume_dir)
 
@@ -217,6 +220,12 @@ def main(argv):
                 raise ValueError("parallel.part_parallel composes with "
                                  "n_model (in-group TP) only — disable "
                                  "parallel.fsdp/parallel.spatial")
+            if resume_batch is not None:
+                raise ValueError(
+                    "load.load_batch (mid-epoch resume) is not supported "
+                    "with parallel.part_parallel — its checkpoints are "
+                    "epoch-level (per-group states); resume with "
+                    "load.load_epoch only")
             from nfdpm_tpu.parallel import part_parallel as pp
 
             out = pp.train_part_parallel(
@@ -232,6 +241,7 @@ def main(argv):
                 backbone=backbone, flow_params=flow_params, dp=dp, tcfg=tcfg,
                 loaders=loaders, run_dir=run_dir, logger=logger, seed=int(cfg.seed),
                 resume_dir=resume_dir, resume_epoch=resume_epoch,
+                resume_batch=resume_batch,
                 evaluate_fn=evaluate_fn, mesh=mesh, fsdp=fsdp,
                 spatial=bool(cfg.select("parallel.spatial", False)),
             )
