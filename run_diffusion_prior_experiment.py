@@ -58,16 +58,25 @@ def main(argv):
     frozen = bool(nf_cfg.freeze)
 
     use_pallas = bool(nf_cfg.get("use_pallas", False))
+    # model.normalizing_flow.coupling_dtype=bfloat16: run the flow's
+    # coupling CNNs in bf16 regardless of what the stage-1 run used — a
+    # measured 1.32x on the stage-2 train step at the MNIST recipe
+    # (tools/bench_stage2_step.py; the frozen flow is inference-only there,
+    # so the latents only move at bf16 rounding scale)
+    coupling_dtype = nf_cfg.get("coupling_dtype", None)
     if nf_cfg.init_nf.mode == "pretrain":
         pretrain_dir = os.path.join("outputs", nf_cfg.init_nf.pretrain.dir)
         backbone, flow_params = load_pretrained_flow(
             pretrain_dir, int(nf_cfg.init_nf.pretrain.epoch), frozen
         )
-        if use_pallas:
+        if use_pallas or coupling_dtype:
             import dataclasses as _dc
 
+            repl = {"use_pallas": True} if use_pallas else {}
+            if coupling_dtype:
+                repl["coupling_dtype"] = str(coupling_dtype)
             backbone = _dc.replace(
-                backbone, cfg=_dc.replace(backbone.cfg, use_pallas=True))
+                backbone, cfg=_dc.replace(backbone.cfg, **repl))
         logger.info(f"Loaded pretrained flow from {pretrain_dir}")
     else:
         sc = nf_cfg.init_nf.scratch
@@ -76,6 +85,7 @@ def main(argv):
             coupling_width=int(sc.get("coupling_width", 512)),
             scan_unroll=int(sc.get("scan_unroll", 4)),
             use_pallas=use_pallas,
+            coupling_dtype=str(coupling_dtype or "float32"),
         )
         backbone = NFBackbone(cfg=gcfg, img_size=img_size, frozen=frozen)
         flow_params = glow_m.init_glow(int(cfg.seed), gcfg)

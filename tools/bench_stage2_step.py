@@ -99,7 +99,9 @@ def main():
         latents, _ = backbone.transform(fp, x)
         return sum(jnp.sum(z) for z in latents)
 
-    fp = state["params"]["flow"]
+    # device_put once — numpy leaves would re-ship ~44 MB of flow params
+    # over the tunnel on EVERY dispatch and swamp the measurement
+    fp = jax.device_put(state["params"]["flow"])
     t_flow = timed(lambda: flow_fwd(fp, batch, key), chain=args.chain,
                    fetch=lambda o: float(o))
 
