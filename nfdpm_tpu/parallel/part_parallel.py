@@ -79,8 +79,12 @@ def make_part_optimizer(tcfg) -> optax.GradientTransformation:
     """Per-part optimizer: the diffusion group of the joint two-group
     optimizer (diffusion_trainer.make_two_group_optimizer), minus the flow
     branch — the flow never enters a part group's optimizer tree."""
+    from ..training.optim import make_lr_schedule
+
     opt = optax.adam if tcfg.optimizer == "adam" else optax.adamw
-    return opt(tcfg.lr_diffusion)
+    return opt(make_lr_schedule(
+        tcfg.lr_diffusion, tcfg.lr_schedule, tcfg.lr_warmup_steps,
+        tcfg.lr_decay_steps, tcfg.lr_end_factor))
 
 
 def init_part_state(

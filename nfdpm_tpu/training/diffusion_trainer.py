@@ -52,6 +52,13 @@ class DiffusionTrainConfig:
     lr_diffusion: float = 1e-3
     lr_nf: Optional[float] = None      # used when the flow is unfrozen
     optimizer: str = "adam"
+    # LR schedule applied to BOTH param groups at their own peak LRs
+    # (capability extension; reference is flat-LR): "constant" (+ optional
+    # warmup) or "cosine" (training/optim.py)
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: Optional[int] = None  # cosine: total steps incl. warmup
+    lr_end_factor: float = 0.0            # cosine: end LR = lr * factor
     n_bits: int = 5
     temperature: float = 1.0
     print_freq: int = 50
@@ -71,6 +78,15 @@ class DiffusionTrainConfig:
     # min(ema_decay, (1+n)/(10+n)) so early steps track the live params
     # without a bias-correction buffer. The update is one fused lerp inside
     # the jitted train step.
+    profile_epoch: Optional[int] = None  # capture this epoch's first
+    # `profile_steps` steps as a profiler trace under <run_dir>/tb
+    # (TensorBoard Profile tab; utils/profiling.EpochProfiler)
+    profile_steps: int = 50
+    watchdog_timeout_s: Optional[float] = None  # hung-step detection: when
+    # no train step completes for this many seconds, dump all-thread stacks
+    # and raise KeyboardInterrupt into the emergency-checkpoint path
+    # (utils/watchdog.py; 10x compile allowance until the first metric
+    # fetch; size the timeout > print_freq x step time). None = off.
     ema_update_every: int = 10  # apply the EMA lerp every k-th step as a
     # separate jitted program instead of inside the hot step (1 = in-step).
     # The in-step update measured +39% step time on the tunneled v5e (the
@@ -83,8 +99,16 @@ def make_two_group_optimizer(
     tcfg: DiffusionTrainConfig, frozen: bool
 ) -> optax.GradientTransformation:
     """{'diffusion': lr_diffusion, 'flow': lr_nf or frozen-zero} groups
-    (reference param groups, trainer.py:104-108)."""
-    opt = optax.adam if tcfg.optimizer == "adam" else optax.adamw
+    (reference param groups, trainer.py:104-108). An LR schedule, when
+    configured, applies to both groups at their own peak LRs."""
+    from .optim import make_lr_schedule
+
+    opt_fn = optax.adam if tcfg.optimizer == "adam" else optax.adamw
+
+    def opt(lr):
+        return opt_fn(make_lr_schedule(
+            lr, tcfg.lr_schedule, tcfg.lr_warmup_steps,
+            tcfg.lr_decay_steps, tcfg.lr_end_factor))
 
     def label_fn(params):
         # Label by tree path (not by subscripting `params`): this keeps the
@@ -429,10 +453,17 @@ def train(
                   else None)
         sample_fn = make_sample_fn(backbone, dp, tcfg, mesh=mesh)
 
+        import os as _os
+
         from ..data.pipeline import prefetch_to_device
-        from ..utils.profiling import StepTimer
+        from ..utils.profiling import EpochProfiler, StepTimer
+        from ..utils.watchdog import StepWatchdog
 
         data_sharding = mesh_m.data_sharding(mesh)
+        wd = StepWatchdog(tcfg.watchdog_timeout_s, run_dir=run_dir,
+                          logger=logger)
+        profiler = EpochProfiler(_os.path.join(run_dir, "tb"),
+                                 tcfg.profile_epoch, tcfg.profile_steps)
         log_count = 0
         epoch = start_epoch
         iters_this_epoch = 0
@@ -444,11 +475,16 @@ def train(
                 skip = (resume_batch or 0) if (
                     resume_batch is not None and epoch == resume_epoch) else 0
                 iters_this_epoch = skip
+                wd.start()  # monitors the step loop; per-checkpoint eval and
+                # saves run un-monitored (nf_trainer rationale)
+                profiler.start_epoch(epoch)
                 for batch, _labels in prefetch_to_device(
                         loaders.train.iter_epoch(epoch - 1, start_batch=skip),
                         sharding=data_sharding):
                     with timer.step():
                         state, metrics = train_step(state, batch, key)
+                    wd.beat()
+                    profiler.step()
                     current_iter += 1
                     iters_this_epoch += 1
                     if ema_fn is not None and (
@@ -458,6 +494,7 @@ def train(
 
                     if current_iter % tcfg.print_freq == 0:
                         avg = float(jnp.mean(jnp.stack(pending)))
+                        wd.beat_sync()  # fetch completed => steps truly ran
                         pending = []
                         tracker.track(avg, loss_name, step=current_iter, epoch=epoch,
                                       context={"subset": "train"})
@@ -470,6 +507,8 @@ def train(
                             tracker.track_images(np.asarray(samples), "generated",
                                                  step=current_iter, epoch=epoch)
 
+                wd.stop()
+                profiler.end_epoch()
                 dt = time.time() - t0
                 ts = timer.summary()
                 logger.info(f"epoch {epoch} done in {dt:.1f}s "
@@ -491,11 +530,13 @@ def train(
         except KeyboardInterrupt:
             from .checkpoint import save_mid_epoch_marker
 
+            wd.stop()
             wait_for_saves()  # an async save may target this same epoch path
             save_state(run_dir, "diffusion", epoch, state)
             save_mid_epoch_marker(run_dir, "diffusion", epoch, iters_this_epoch)
             logger.warning(
-                f"Interrupted — emergency checkpoint at epoch {epoch} batch "
+                ("Watchdog stall — " if wd.fired else "Interrupted — ")
+                + f"emergency checkpoint at epoch {epoch} batch "
                 f"{iters_this_epoch}; resume bit-exactly with "
                 f"load.load_epoch={epoch} load.load_batch={iters_this_epoch}")
             raise

@@ -47,6 +47,12 @@ class NFTrainConfig:
     epochs: int = 10
     lr: float = 1e-3
     optimizer: str = "adam"
+    # LR schedule (capability extension; reference is flat-LR):
+    # "constant" (+ optional warmup) or "cosine" (training/optim.py)
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: Optional[int] = None  # cosine: total steps incl. warmup
+    lr_end_factor: float = 0.0            # cosine: end LR = lr * factor
     n_bits: int = 5
     temperature: float = 1.0
     print_freq: int = 50
@@ -58,6 +64,16 @@ class NFTrainConfig:
     compat_fixed_prior: bool = True  # reference optimizes/clips flow params
     # only (trainer.py:109,165-166): the Gaussian prior stays standard normal.
     # Set False to also train the prior (capability extension).
+    profile_epoch: Optional[int] = None  # capture this epoch's first
+    # `profile_steps` steps as a profiler trace under <run_dir>/tb —
+    # viewable in TensorBoard's Profile tab (utils/profiling.EpochProfiler)
+    profile_steps: int = 50
+    watchdog_timeout_s: Optional[float] = None  # hung-step detection: when
+    # no train step completes for this many seconds, dump all-thread stacks
+    # to <run_dir>/watchdog_stall.txt and raise KeyboardInterrupt into the
+    # emergency-checkpoint path (utils/watchdog.py; 10x compile allowance
+    # until the first metric fetch; size the timeout > print_freq x step
+    # time — the fetch is the loop's only sync point). None = off.
     grad_accum: int = 1  # microbatches per optimizer step (TPU memory knob):
     # the batch is split into `grad_accum` slices scanned inside the SAME
     # jitted step, gradients averaged, ONE optimizer update. Activation
@@ -355,7 +371,13 @@ def train(
     "model" axis with that many microbatches per data shard
     (parallel/pipeline.py; requires K divisible by the model-axis size)."""
     key = jax.random.PRNGKey(seed)
-    tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
+    from .optim import make_lr_schedule
+
+    tx = make_optimizer(
+        tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior,
+        lr_schedule=make_lr_schedule(
+            tcfg.lr, tcfg.lr_schedule, tcfg.lr_warmup_steps,
+            tcfg.lr_decay_steps, tcfg.lr_end_factor))
     mesh = mesh or mesh_m.make_mesh()
     tracker = Tracker(run_dir)
 
@@ -451,10 +473,17 @@ def train(
         eval_step = make_eval_step(cfg, tcfg)
         sample_fn = make_sample_fn(cfg, tcfg, img_size, mesh=mesh)
 
+        import os as _os
+
         from ..data.pipeline import prefetch_to_device
-        from ..utils.profiling import StepTimer
+        from ..utils.profiling import EpochProfiler, StepTimer
+        from ..utils.watchdog import StepWatchdog
 
         data_sharding = mesh_m.data_sharding(mesh)
+        wd = StepWatchdog(tcfg.watchdog_timeout_s, run_dir=run_dir,
+                          logger=logger)
+        profiler = EpochProfiler(_os.path.join(run_dir, "tb"),
+                                 tcfg.profile_epoch, tcfg.profile_steps)
         log_count = 0
         epoch = start_epoch
         iters_this_epoch = 0
@@ -468,17 +497,24 @@ def train(
                 skip = (resume_batch or 0) if (
                     resume_batch is not None and epoch == resume_epoch) else 0
                 iters_this_epoch = skip
+                wd.start()  # monitors the step loop only — per-checkpoint
+                # eval/save below run un-monitored (they legitimately take
+                # longer than a step timeout)
+                profiler.start_epoch(epoch)
                 for batch, _labels in prefetch_to_device(
                         loaders.train.iter_epoch(epoch - 1, start_batch=skip),
                         sharding=data_sharding):
                     with timer.step():
                         state, metrics = train_step(state, batch, key)
+                    wd.beat()
+                    profiler.step()
                     current_iter += 1
                     iters_this_epoch += 1
                     pending.append(metrics["bpd"])
 
                     if current_iter % tcfg.print_freq == 0:
                         avg = float(jnp.mean(jnp.stack(pending)))
+                        wd.beat_sync()  # fetch completed => steps truly ran
                         pending = []
                         tracker.track(avg, "bpd", step=current_iter, epoch=epoch,
                                       context={"subset": "train"})
@@ -491,6 +527,8 @@ def train(
                             tracker.track_images(np.asarray(samples), "generated",
                                                  step=current_iter, epoch=epoch)
 
+                wd.stop()
+                profiler.end_epoch()
                 dt = time.time() - t0
                 ts = timer.summary()
                 logger.info(f"epoch {epoch} done in {dt:.1f}s "
@@ -514,11 +552,13 @@ def train(
         except KeyboardInterrupt:
             from .checkpoint import save_mid_epoch_marker
 
+            wd.stop()
             wait_for_saves()  # an async save may target this same epoch path
             save_state(run_dir, "gaussian", epoch, state)
             save_mid_epoch_marker(run_dir, "gaussian", epoch, iters_this_epoch)
             logger.warning(
-                f"Interrupted — emergency checkpoint at epoch {epoch} batch "
+                ("Watchdog stall — " if wd.fired else "Interrupted — ")
+                + f"emergency checkpoint at epoch {epoch} batch "
                 f"{iters_this_epoch}; resume bit-exactly with "
                 f"load.load_epoch={epoch} load.load_batch={iters_this_epoch}")
             raise

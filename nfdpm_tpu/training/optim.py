@@ -41,12 +41,47 @@ def trainable_mask(params: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def make_lr_schedule(
+    lr: float,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int | None = None,
+    end_lr_factor: float = 0.0,
+):
+    """Learning-rate schedule factory (capability extension: the reference
+    trains at a fixed LR throughout, normalizing_flow/utils.py:120-137).
+
+      * "constant": fixed `lr`, with an optional linear warmup from 0 over
+        `warmup_steps` (then held).
+      * "cosine": linear warmup to `lr` over `warmup_steps`, cosine decay to
+        `lr * end_lr_factor` at `decay_steps` (total steps incl. warmup).
+
+    Returns a float (plain constant) or an optax schedule; both feed
+    optax.adam/adamw directly. Schedules index by the optimizer's own step
+    count inside opt_state, so checkpoint resume continues the schedule
+    exactly."""
+    if schedule == "constant":
+        if warmup_steps <= 0:
+            return lr
+        return optax.linear_schedule(0.0, lr, warmup_steps)
+    if schedule == "cosine":
+        if decay_steps is None:
+            raise ValueError("cosine schedule needs decay_steps "
+                             "(total steps including warmup)")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+            decay_steps=decay_steps, end_value=lr * end_lr_factor)
+    raise ValueError(f"Unknown lr schedule: {schedule!r} "
+                     "(one of 'constant', 'cosine')")
+
+
 def make_optimizer(
     name: str = "adam",
     lr: float = 1e-3,
     clip_value: float | None = 1.0,
     clip_norm: float | None = 1.0,
     fixed_prior: bool = False,
+    lr_schedule=None,
 ) -> optax.GradientTransformation:
     """`fixed_prior=True` reproduces the reference exactly: its optimizer and
     BOTH grad clips cover `flow.parameters()` only
@@ -54,11 +89,15 @@ def make_optimizer(
     Gaussian prior's (bias, logs) never update and never enter the global-norm
     clip. Implemented as a multi_transform over the {"flow", "prior"} top-level
     keys so clip_by_global_norm sees flow grads only. `fixed_prior=False`
-    trains the prior too (a deliberate capability extension)."""
+    trains the prior too (a deliberate capability extension).
+
+    `lr_schedule`: an optax schedule (or the output of make_lr_schedule) to
+    use instead of the flat `lr`."""
+    rate = lr_schedule if lr_schedule is not None else lr
     if name == "adam":
-        opt = optax.adam(lr)
+        opt = optax.adam(rate)
     elif name == "adamw":
-        opt = optax.adamw(lr)
+        opt = optax.adamw(rate)
     else:
         raise ValueError(f"Unknown optimizer: {name}")
 

@@ -1,11 +1,17 @@
 """Experiment tracking: scalars, images, texts.
 
 The reference tracks to Aim (/root/reference/normalizing_flow/trainer.py:127-130,
-SURVEY.md §5.5). Aim is not available in this environment, so the tracker
-writes an append-only JSONL metric stream plus PNG image grids — the same
-information channels (scalars with subset contexts, generated-image grids,
-final-stats text) in a dependency-free form. If `aim` IS importable it is
-used as an additional sink, preserving `aim up` dashboard compatibility.
+SURVEY.md §5.5). The tracker writes an append-only JSONL metric stream plus
+PNG image grids — the same information channels (scalars with subset
+contexts, generated-image grids, final-stats text) in a dependency-free
+form — and mirrors everything to a live **TensorBoard** event stream
+(`<run_dir>/tb/`, via tensorboardX when importable; disable with
+`NFDPM_NO_TENSORBOARD=1`). `tensorboard --logdir <outputs>` is the
+dashboard-parity answer to the reference's `aim up`
+(/root/reference/README.md:347-352): scalar curves with subset contexts,
+sample-grid images, and parameter histograms, live during training. If
+`aim` itself IS importable it is used as an additional sink, preserving
+`aim up` compatibility.
 """
 
 from __future__ import annotations
@@ -31,6 +37,22 @@ class Tracker:
             self._aim["experiment"] = experiment
         except Exception:
             self._aim = None
+        self._tb = None
+        if not os.environ.get("NFDPM_NO_TENSORBOARD"):
+            try:  # TensorBoard sink (tensorboardX keeps the import light —
+                # no TF runtime); events live under <run_dir>/tb/
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(logdir=os.path.join(run_dir, "tb"))
+            except Exception:
+                self._tb = None
+
+    @staticmethod
+    def _tb_tag(name: str, context: Optional[Dict[str, Any]]) -> str:
+        """"bpd" + {"subset": "train"} -> "bpd/train" (the Aim-context
+        convention flattened into TensorBoard's tag hierarchy)."""
+        subset = (context or {}).get("subset")
+        return f"{name}/{subset}" if subset else name
 
     def track(
         self,
@@ -52,6 +74,12 @@ class Tracker:
         }
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None and isinstance(value, float):
+            try:
+                self._tb.add_scalar(self._tb_tag(name, context), value,
+                                    global_step=step if step is not None else epoch)
+            except Exception:
+                pass
         if self._aim is not None:
             try:
                 self._aim.track(value=value, name=name, step=step, epoch=epoch, context=context)
@@ -79,6 +107,12 @@ class Tracker:
                             for k in path)
             self.track({"edges": edges.tolist(), "counts": counts.tolist()},
                        name=f"param_dist/{name}", step=step, epoch=epoch)
+            if self._tb is not None:
+                try:
+                    self._tb.add_histogram(f"param_dist/{name}", arr,
+                                           global_step=step)
+                except Exception:
+                    pass
 
     def track_images(
         self,
@@ -91,15 +125,27 @@ class Tracker:
         """Save an 8-wide grid PNG (reference's aim image grid + PDF grid,
         normalizing_flow/utils.py:213-241)."""
         path = os.path.join(self.run_dir, "results", f"{name}_e{epoch or 0}_s{step or 0}.png")
-        save_image_grid(images, path)
+        grid = save_image_grid(images, path)
         self.track(path, name=f"{name}_path", step=step, epoch=epoch, context=context)
+        if self._tb is not None:
+            try:  # HWC uint8 grid -> TensorBoard (dataformats avoids a copy)
+                self._tb.add_image(name, grid, global_step=step,
+                                   dataformats="HWC")
+            except Exception:
+                pass
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            try:
+                self._tb.close()
+            except Exception:
+                pass
 
 
-def save_image_grid(images: np.ndarray, path: str, nrow: int = 8, pad: int = 1) -> None:
-    """images: uint8 [N, H, W, C] -> single grid image on disk."""
+def save_image_grid(images: np.ndarray, path: str, nrow: int = 8, pad: int = 1) -> np.ndarray:
+    """images: uint8 [N, H, W, C] -> single grid image on disk; returns the
+    grid array (HWC uint8) for in-memory sinks."""
     from PIL import Image
 
     images = np.asarray(images)
@@ -116,3 +162,4 @@ def save_image_grid(images: np.ndarray, path: str, nrow: int = 8, pad: int = 1) 
         grid[y0: y0 + h, x0: x0 + w] = images[i]
     os.makedirs(os.path.dirname(path), exist_ok=True)
     Image.fromarray(grid.squeeze(-1) if c == 1 else grid).save(path)
+    return grid

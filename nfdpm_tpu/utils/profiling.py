@@ -47,6 +47,51 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class EpochProfiler:
+    """Capture ONE epoch's first `max_steps` steps as a profiler trace,
+    written under `<log_dir>/plugins/profile/<ts>` (jax.profiler's layout),
+    so `tensorboard --logdir <run_dir>/tb` shows the Profile tab next to the
+    run's scalar curves (tensorboard-plugin-profile). Wired to
+    `model.training.profile_epoch` / `profile_steps` in both trainers.
+
+    Epoch 1 includes XLA compilation in the trace (that is sometimes the
+    point); profile a later epoch for steady-state steps. One-shot: traces
+    at most one epoch per run."""
+
+    def __init__(self, log_dir: str, profile_epoch=None, max_steps: int = 50):
+        self.log_dir = log_dir
+        self.profile_epoch = profile_epoch
+        self.max_steps = max_steps
+        self._active = False
+        self._done = False
+        self._n = 0
+
+    def start_epoch(self, epoch: int) -> None:
+        if self._done or self.profile_epoch is None or epoch != self.profile_epoch:
+            return
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        self._active, self._n = True, 0
+
+    def step(self) -> None:
+        if not self._active:
+            return
+        self._n += 1
+        if self._n >= self.max_steps:
+            self._stop()
+
+    def end_epoch(self) -> None:
+        if self._active:
+            self._stop()
+
+    def _stop(self) -> None:
+        import jax
+
+        jax.profiler.stop_trace()
+        self._active, self._done = False, True
+
+
 class StepTimer:
     """Wall-clock per-step timing with percentile summary."""
 

@@ -76,6 +76,16 @@ def main(argv):
         compat_three_channel_bpd=bool(cfg.select("compat.three_channel_bpd", True)),
         compat_fixed_prior=bool(cfg.select("compat.fixed_prior", True)),
         grad_accum=int(cfg.select("model.training.grad_accum", 1)),
+        watchdog_timeout_s=(float(w) if (w := cfg.select(
+            "model.training.watchdog_timeout_s")) else None),
+        profile_epoch=(int(p) if (p := cfg.select(
+            "model.training.profile_epoch")) else None),
+        profile_steps=int(cfg.select("model.training.profile_steps", 50)),
+        lr_schedule=str(cfg.select("model.optimizer.schedule", "constant")),
+        lr_warmup_steps=int(cfg.select("model.optimizer.warmup_steps", 0)),
+        lr_decay_steps=(int(d) if (d := cfg.select(
+            "model.optimizer.decay_steps")) else None),
+        lr_end_factor=float(cfg.select("model.optimizer.end_lr_factor", 0.0)),
     )
 
     loaders = read_dataset(

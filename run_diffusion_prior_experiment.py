@@ -137,6 +137,16 @@ def main(argv):
             "model.training.ema_decay")) else None),
         ema_update_every=int(cfg.select("model.training.ema_update_every",
                                         10)),
+        watchdog_timeout_s=(float(w) if (w := cfg.select(
+            "model.training.watchdog_timeout_s")) else None),
+        profile_epoch=(int(p) if (p := cfg.select(
+            "model.training.profile_epoch")) else None),
+        profile_steps=int(cfg.select("model.training.profile_steps", 50)),
+        lr_schedule=str(cfg.select("model.optimizer.schedule", "constant")),
+        lr_warmup_steps=int(cfg.select("model.optimizer.warmup_steps", 0)),
+        lr_decay_steps=(int(d) if (d := cfg.select(
+            "model.optimizer.decay_steps")) else None),
+        lr_end_factor=float(cfg.select("model.optimizer.end_lr_factor", 0.0)),
     )
 
     # Persist everything a standalone consumer (tools/generate_samples.py,

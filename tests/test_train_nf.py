@@ -260,3 +260,47 @@ def test_restore_params_is_optimizer_agnostic(tmp_path):
     out = restore_params(str(tmp_path), "gaussian", 3)
     assert jax.tree.all(jax.tree.map(
         lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), out, params))
+
+
+def test_lr_schedules():
+    """make_lr_schedule: constant passthrough, warmup ramp (0 -> lr, held),
+    cosine peak at warmup end and lr*end_factor at decay_steps. Schedules
+    index off the optimizer's own step count, so resume continues exactly."""
+    from nfdpm_tpu.training.optim import make_lr_schedule
+
+    assert make_lr_schedule(1e-3) == 1e-3  # plain float: zero overhead
+
+    warm = make_lr_schedule(1e-3, "constant", warmup_steps=10)
+    assert float(warm(0)) == 0.0
+    assert np.isclose(float(warm(10)), 1e-3)
+    assert np.isclose(float(warm(1000)), 1e-3)  # held after warmup
+
+    cos = make_lr_schedule(1e-3, "cosine", warmup_steps=10, decay_steps=100,
+                           end_lr_factor=0.1)
+    assert float(cos(0)) == 0.0
+    assert np.isclose(float(cos(10)), 1e-3)
+    assert np.isclose(float(cos(100)), 1e-4)
+    assert float(cos(50)) < 1e-3
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(1e-3, "cosine")  # needs decay_steps
+    with pytest.raises(ValueError):
+        make_lr_schedule(1e-3, "linear")
+
+
+def test_warmup_first_update_is_zero():
+    """With warmup the first optimizer update is exactly zero (LR 0 at step
+    0) while later steps move the params — wired through make_optimizer and
+    both trainers' config plumbing."""
+    from nfdpm_tpu.training.optim import make_lr_schedule
+
+    tx = make_optimizer("adam", 1e-3, lr_schedule=make_lr_schedule(
+        1e-3, "constant", warmup_steps=5))
+    params = {"flow": {"w": jnp.ones(3)}, "prior": {"b": jnp.ones(2)}}
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd0, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(upd0["flow"]["w"]).max()) == 0.0
+    for _ in range(5):
+        upd, opt_state = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(upd["flow"]["w"]).max()) > 0.0

@@ -79,6 +79,29 @@ class TestTracking:
         hist = [r for r in recs if r["name"].startswith("param_dist/")][0]
         assert sum(hist["value"]["counts"]) == 100
 
+    def test_tensorboard_sink(self, tmp_path, monkeypatch):
+        """Scalars/images/histograms mirror into a live TensorBoard event
+        stream under <run_dir>/tb (the reference's `aim up` dashboard
+        parity, README.md:347-352); NFDPM_NO_TENSORBOARD=1 opts out."""
+        pytest.importorskip("tensorboardX")
+        from nfdpm_tpu.training.tracking import Tracker
+
+        t = Tracker(str(tmp_path))
+        assert t._tb is not None
+        t.track(1.5, "bpd", step=1, context={"subset": "train"})
+        t.track_images(
+            np.zeros((4, 8, 8, 1), np.uint8), "generated", step=1, epoch=1)
+        t.track_param_distributions(
+            {"w": np.random.default_rng(0).normal(size=64)}, step=1)
+        t.close()
+        events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert events and events[0].stat().st_size > 0
+
+        monkeypatch.setenv("NFDPM_NO_TENSORBOARD", "1")
+        t2 = Tracker(str(tmp_path / "no_tb"))
+        assert t2._tb is None
+        t2.close()
+
     def test_image_grid(self, tmp_path):
         from nfdpm_tpu.training.tracking import save_image_grid
 
@@ -89,6 +112,66 @@ class TestTracking:
 
         g = Image.open(path)
         assert g.size[0] > 8 and g.size[1] > 8
+
+
+class TestWatchdog:
+    def test_fires_dumps_stacks(self, tmp_path):
+        """No heartbeat within timeout -> fired + all-thread stack dump in
+        <run_dir>/watchdog_stall.txt (observe-only action)."""
+        import time
+
+        from nfdpm_tpu.utils.watchdog import StepWatchdog
+
+        wd = StepWatchdog(0.1, run_dir=str(tmp_path), action="log",
+                          poll_s=0.02)
+        with wd:
+            wd.beat_sync()
+            time.sleep(0.5)
+        assert wd.fired
+        dump = open(tmp_path / "watchdog_stall.txt").read()
+        assert "no step heartbeat" in dump and "Thread" in dump
+
+    def test_first_sync_grace(self, tmp_path):
+        """Until the first SYNCHRONIZING beat the allowance is 10x the
+        timeout (async dispatch means early beats don't prove completion;
+        the first metric fetch blocks on XLA compilation). Plain `beat()`
+        refreshes the clock but does NOT end the grace window; `beat_sync()`
+        does."""
+        import time
+
+        from nfdpm_tpu.utils.watchdog import StepWatchdog
+
+        wd = StepWatchdog(0.15, run_dir=str(tmp_path), action="log",
+                          poll_s=0.02)
+        with wd:
+            wd.beat()                 # dispatch-only: grace stays active
+            time.sleep(0.45)          # 3x timeout, pre-sync: no fire
+            assert not wd.fired
+            wd.beat_sync()
+            time.sleep(0.45)
+        assert wd.fired
+
+    def test_interrupt_action_reaches_main_thread(self, tmp_path):
+        """action="interrupt" lands a KeyboardInterrupt in the main thread —
+        the trainers' emergency-checkpoint path."""
+        import time
+
+        from nfdpm_tpu.utils.watchdog import StepWatchdog
+
+        with pytest.raises(KeyboardInterrupt):
+            with StepWatchdog(0.1, run_dir=str(tmp_path), poll_s=0.02) as wd:
+                wd.beat_sync()
+                for _ in range(200):  # interrupt is delivered at a bytecode
+                    time.sleep(0.05)  # boundary between these sleeps
+        assert wd.fired
+
+    def test_disabled_is_noop(self):
+        from nfdpm_tpu.utils.watchdog import StepWatchdog
+
+        wd = StepWatchdog(None)
+        with wd:
+            wd.beat()
+        assert wd._thread is None and not wd.fired
 
 
 class TestProfiling:
@@ -104,6 +187,37 @@ class TestProfiling:
         s = t.summary()
         assert s["steps"] == 4  # warmup skipped
         assert s["p50_ms"] >= 1.0
+
+
+class TestEpochProfiler:
+    def test_traces_one_epoch_into_tb_layout(self, tmp_path):
+        """EpochProfiler captures exactly its target epoch and writes the
+        jax.profiler layout (plugins/profile/<ts>/*.xplane.pb) under the
+        run's tb/ dir, where TensorBoard's Profile tab finds it."""
+        import jax
+        import jax.numpy as jnp
+
+        from nfdpm_tpu.utils.profiling import EpochProfiler
+
+        f = jax.jit(lambda x: x * 2 + 1)
+        p = EpochProfiler(str(tmp_path / "tb"), profile_epoch=2, max_steps=3)
+        for epoch in (1, 2, 3):
+            p.start_epoch(epoch)
+            for _ in range(5):
+                f(jnp.ones(8)).block_until_ready()
+                p.step()
+            p.end_epoch()
+        traces = list((tmp_path / "tb").glob("plugins/profile/*/*.xplane.pb"))
+        assert len(traces) == 1 and traces[0].stat().st_size > 0
+
+    def test_disabled_writes_nothing(self, tmp_path):
+        from nfdpm_tpu.utils.profiling import EpochProfiler
+
+        p = EpochProfiler(str(tmp_path / "tb"), profile_epoch=None)
+        p.start_epoch(1)
+        p.step()
+        p.end_epoch()
+        assert not (tmp_path / "tb").exists()
 
 
 class TestHTMLReport:
