@@ -176,6 +176,10 @@ def _diffusion_arch_from_config(run_dir: str) -> Dict[str, Any]:
             loss_type=str(d.loss_type), beta_schedule=str(d.beta_schedule),
             ddim_sampling_eta=float(d.ddim_sampling_eta),
             scan_unroll=int(cfg.select("model.diffusion.scan_unroll", 1)),
+            sampling_method=str(cfg.select("model.diffusion.sampling_method",
+                                           "auto")),
+            vlb_time_chunk=int(cfg.select("model.diffusion.vlb_time_chunk",
+                                          4)),
         ),
         "frozen": bool(nf_cfg.freeze),
         "n_bits": int(cfg.model.training.n_bits),
@@ -186,10 +190,13 @@ def _diffusion_arch_from_config(run_dir: str) -> Dict[str, Any]:
 def load_diffusion_run(
     run_dir: str, epoch: Optional[int] = None, ddim: Optional[int] = None,
     batch_sharding=None, use_ema: bool = True,
+    sampler: Optional[str] = None,
 ) -> DiffusionRun:
     """`use_ema=True` (default) loads the checkpoint's EMA weights where the
     run tracked them (diffusion_trainer `ema_decay`) — the right weights for
-    generation; a no-op for runs without EMA."""
+    generation; a no-op for runs without EMA. `sampler` overrides the run's
+    sampling_method ('ancestral' | 'ddim' | 'dpm++') — sampler choice is an
+    inference-time knob, not a trained property."""
     from ..models.diffusion_prior import DiffusionPrior
     from ..models.formaters import get_formater
     from ..models.nf_backbone import NFBackbone
@@ -216,6 +223,8 @@ def load_diffusion_run(
     dkw = dict(arch["diffusion_kwargs"])
     if ddim is not None:
         dkw["sampling_timesteps"] = ddim
+    if sampler is not None:
+        dkw["sampling_method"] = sampler
     ukw = dict(arch["unet_kwargs"])
     if "dim_mults" in ukw:
         ukw["dim_mults"] = tuple(ukw["dim_mults"])

@@ -38,9 +38,21 @@ def honor_platform_env() -> None:
     import jax
 
     try:
+        # Backends already instantiated => an embedding process (e.g. the
+        # test suite, which pins jax_platforms="cpu" in conftest and has
+        # run computations) made its choice; flipping jax_platforms now
+        # would silently move every SUBSEQUENT compile onto the ambient
+        # platform (on this box: the real TPU, whose bf16 MXU rounding
+        # breaks tight-precision CPU tests that happen to run after an
+        # in-process CLI call). Only assert the env choice while no
+        # backend is live.
+        from jax._src import xla_bridge
+
+        if getattr(xla_bridge, "_backends", None):
+            return
         if jax.config.jax_platforms != want:
             jax.config.update("jax_platforms", want)
-    except (AttributeError, RuntimeError):  # old jax / backends already up
+    except (AttributeError, ImportError, RuntimeError):  # old jax layouts
         pass
 
 

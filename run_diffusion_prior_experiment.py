@@ -110,6 +110,9 @@ def main(argv):
         beta_schedule=cfg.model.diffusion.beta_schedule,
         ddim_sampling_eta=float(cfg.model.diffusion.ddim_sampling_eta),
         scan_unroll=int(cfg.select("model.diffusion.scan_unroll", 1)),
+        sampling_method=str(cfg.select("model.diffusion.sampling_method",
+                                       "auto")),
+        vlb_time_chunk=int(cfg.select("model.diffusion.vlb_time_chunk", 4)),
     )
     # mesh first: the prior's sampler chains batch-shard over it (diffusion
     # FID-scale generation runs data-parallel; single device => no-op)

@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ["JAX_PLATFORMS"] = "cpu"  # keep env consistent with the config
+# choice below: production code re-asserts JAX_PLATFORMS via
+# utils.env.honor_platform_env, and an ambient =axon would otherwise flip
+# in-process CLI tests' successors onto the real TPU chip.
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

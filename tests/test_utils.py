@@ -267,6 +267,25 @@ class TestCompilationCache:
         monkeypatch.setenv("NFDPM_NO_COMPILE_CACHE", "1")
         assert enable_compilation_cache() is None
 
+    def test_platform_env_no_flip_after_backends_live(self, monkeypatch):
+        """Regression (round 3): honor_platform_env must NOT flip
+        jax_platforms once backends are instantiated — an in-process CLI
+        call (test_entry_points) would otherwise move every subsequent
+        compile in this process onto the ambient JAX_PLATFORMS platform
+        (the real TPU on this box), silently breaking tight-precision CPU
+        tests that run after it."""
+        import jax
+
+        from nfdpm_tpu.utils.env import honor_platform_env
+
+        import jax.numpy as jnp
+
+        float(jnp.zeros(()))  # ensure the cpu backend is instantiated
+        before = jax.config.jax_platforms
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        honor_platform_env()
+        assert jax.config.jax_platforms == before
+
     def test_report_label_dedup(self, tmp_path):
         """Two run dirs sharing a basename get parent-qualified labels."""
         from tools.report import run_labels

@@ -35,7 +35,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False):
+def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False,
+               method="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +59,7 @@ def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False):
     cfg = DiffusionConfig(image_size=h, channels=c, timesteps=T,
                           sampling_timesteps=ddim_steps,
                           beta_schedule="cosine", auto_normalize=False,
-                          scan_unroll=unroll)
+                          scan_unroll=unroll, sampling_method=method)
     diff = GaussianDiffusion(apply_fn, cfg)
     n_steps = ddim_steps or T
 
@@ -73,7 +74,8 @@ def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False):
     dt = (time.perf_counter() - t_start) / reps
     return {
         "batch": batch, "chain_steps": n_steps, "unroll": unroll,
-        "sampler": "ddim" if ddim_steps else "ancestral",
+        "sampler": method if method != "auto"
+        else ("ddim" if ddim_steps else "ancestral"),
         "steps_per_sec": round(n_steps / dt, 2),
         "full_chain_seconds": round(dt, 4),
         "samples_per_sec": round(batch / dt, 2),
@@ -191,11 +193,19 @@ def mfu_profile(reps=3, only=()):
 
 
 def main():
+    # persistent compile cache: chain compiles over the tunneled backend
+    # cost 10-25 min per process otherwise (same policy as bench.py)
+    from nfdpm_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--T", type=int, default=250)
     ap.add_argument("--ddim", type=int, default=None)
+    ap.add_argument("--sampler", default="auto",
+                    choices=["auto", "ancestral", "ddim", "dpm++"],
+                    help="dpm++ = DPM-Solver++(2M); pair with --ddim 25 "
+                         "for the 25-NFE FID-generation recipe")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--mfu", action="store_true")
@@ -219,7 +229,8 @@ def main():
         return
 
     r = bench_once(args.batch, args.T, args.unroll, args.ddim,
-                   reps=args.reps, stacked=args.stacked)
+                   reps=args.reps, stacked=args.stacked,
+                   method=args.sampler)
     r["metric"] = (f"ddpm_unet64_denoise_steps_per_sec_batch{args.batch}"
                    f"_16x16x6")
     if args.stacked:

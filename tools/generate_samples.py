@@ -49,7 +49,8 @@ def _build_glow(run_dir: str, epoch, mesh=None):
     return sample_fn, params, run.temperature, run.epoch
 
 
-def _build_diffusion(run_dir: str, epoch, ddim, mesh=None, use_ema=True):
+def _build_diffusion(run_dir: str, epoch, ddim, mesh=None, use_ema=True,
+                     sampler=None):
     import jax
 
     from nfdpm_tpu.training import diffusion_trainer as dt
@@ -61,7 +62,8 @@ def _build_diffusion(run_dir: str, epoch, ddim, mesh=None, use_ema=True):
 
         batch_sharding = mesh_m.data_sharding(mesh)
     run = load_diffusion_run(run_dir, epoch, ddim,
-                             batch_sharding=batch_sharding, use_ema=use_ema)
+                             batch_sharding=batch_sharding, use_ema=use_ema,
+                             sampler=sampler)
     params = run.params
     if mesh is not None:
         from nfdpm_tpu.parallel import mesh as mesh_m
@@ -106,6 +108,11 @@ def main(argv=None):
     ap.add_argument("--ddim", type=int, default=None,
                     help="diffusion runs: override sampling_timesteps "
                          "(DDIM stride) for FID-scale generation")
+    ap.add_argument("--sampler", default=None,
+                    choices=["auto", "ancestral", "ddim", "dpm++"],
+                    help="diffusion runs: override the sampler (dpm++ = "
+                         "DPM-Solver++(2M): DDIM-100 quality at ~25 steps; "
+                         "pair with --ddim 25)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard generation over ALL local devices (a "
                          "(n_devices, 1) data mesh): the prior draws / "
@@ -147,7 +154,8 @@ def main(argv=None):
 
     if prefix == "diffusion":
         sample_fn, params, run_temp, epoch = _build_diffusion(
-            run_dir, epoch, args.ddim, mesh=mesh, use_ema=not args.no_ema)
+            run_dir, epoch, args.ddim, mesh=mesh, use_ema=not args.no_ema,
+            sampler=args.sampler)
     else:
         sample_fn, params, run_temp, epoch = _build_glow(
             run_dir, epoch, mesh=mesh)

@@ -54,7 +54,8 @@ def build_sampler(args):
     if kind == "diffusion":
         sample_fn, params, run_temp, epoch = _build_diffusion(
             run_dir, epoch, args.ddim, mesh=mesh,
-            use_ema=not getattr(args, "no_ema", False))
+            use_ema=not getattr(args, "no_ema", False),
+            sampler=getattr(args, "sampler", None))
     else:
         sample_fn, params, run_temp, epoch = _build_glow(
             run_dir, epoch, mesh=mesh)
@@ -159,6 +160,10 @@ def main(argv=None):
                          "the EMA shadow")
     ap.add_argument("--ddim", type=int, default=None,
                     help="diffusion runs: sampling_timesteps override")
+    ap.add_argument("--sampler", default=None,
+                    choices=["auto", "ancestral", "ddim", "dpm++"],
+                    help="diffusion runs: sampler override (dpm++ pairs "
+                         "well with --ddim 25)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard generation over all local devices")
     ap.add_argument("--host", default="127.0.0.1")
