@@ -122,14 +122,35 @@ class DiffusionPrior:
         return out
 
     # -- evaluation -------------------------------------------------------
-    def evaluate_neg_log_likelihood(
+    def _per_part_nll_nats(
         self, params, key, latents: Sequence[jax.Array]
-    ) -> List[jax.Array]:
-        """Per-part, per-dim VLB-based NLL list (model.py:140-147:
-        calc_neg_log_likelihood_loop / prod(latent dims))."""
+    ) -> List[tuple]:
+        """[(total VLB nats per batch element, processed part shape), ...] over
+        the FORMATER-PROCESSED parts (CatFormater has one part whose dim count
+        equals the sum of all flow latent dims; IdentityFormater has L)."""
         processed = self.formater.process_latents(latents)
         out = []
         for i, (diff, z) in enumerate(zip(self.parts, processed)):
             nll = diff.neg_log_likelihood(params["parts"][i], jax.random.fold_in(key, i), z)
-            out.append(nll / float(np.prod(z.shape[1:])))
+            out.append((nll, z.shape))
         return out
+
+    def evaluate_neg_log_likelihood(
+        self, params, key, latents: Sequence[jax.Array]
+    ) -> List[jax.Array]:
+        """Per-part, per-dim VLB-based NLL list (model.py:140-147:
+        calc_neg_log_likelihood_loop / prod(latent dims)). NOTE: entries are
+        normalized by the PROCESSED part's dims — weight them by those same
+        dims (or use neg_log_likelihood_nats) when totalling."""
+        return [nll / float(np.prod(shape[1:]))
+                for nll, shape in self._per_part_nll_nats(params, key, latents)]
+
+    def neg_log_likelihood_nats(
+        self, params, key, latents: Sequence[jax.Array]
+    ) -> jax.Array:
+        """Total VLB nats per batch element, summed over all processed parts —
+        the correct prior term for a flow+diffusion-prior likelihood bound
+        regardless of formater (CatFormater's single part covers every latent
+        dim; zipping per-dim NLLs against the RAW flow latents' shapes would
+        drop dims)."""
+        return sum(nll for nll, _ in self._per_part_nll_nats(params, key, latents))

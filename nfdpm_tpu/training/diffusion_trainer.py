@@ -335,11 +335,10 @@ def calculate_bpd_with_diff_prior(
         x = q.preprocess(batch, tcfg.n_bits)
         x = q.dequantize(k_dq, x, tcfg.n_bits)
         latents, ldj = backbone.transform(params["flow"], x)
-        per_dim_nlls = dp.evaluate_neg_log_likelihood(params["diffusion"], k_nll, latents)
-        shapes = [z.shape for z in latents]
-        prior_nll = sum(
-            nll * float(np.prod(s[1:])) for nll, s in zip(per_dim_nlls, shapes)
-        )
+        # total nats over the FORMATER-PROCESSED parts: with CatFormater the
+        # single concatenated part carries every latent dim, so weighting
+        # per-dim NLLs by the raw flow latents' shapes would drop dims
+        prior_nll = dp.neg_log_likelihood_nats(params["diffusion"], k_nll, latents)
         ll = ldj - prior_nll
         return (np.log(n_bins) * n_pixel - ll) * bpd_const
 

@@ -212,6 +212,66 @@ class TestDiffusionTrainer:
         )
         assert np.isfinite(bpd)
 
+    def test_bpd_counts_all_dims_with_cat_formater(self, setup):
+        """Regression: with CatFormater the VLB bound must charge the prior
+        NLL for EVERY latent dim. The old code zipped the per-diffusion-part
+        per-dim NLLs against the RAW flow latents' shapes, so the single cat
+        part was weighted by only latents[0]'s dims — halving the prior term
+        at L=2 (caught live: a CIFAR-format stage-2 run reported VLB bpd 1.09
+        vs Gaussian 3.71). Replicates the trainer's exact key schedule
+        host-side and pins the reported bpd to the total-nats formula."""
+        import math
+
+        from nfdpm_tpu.data.pipeline import read_dataset
+        from nfdpm_tpu.models import prior as prior_m
+        from nfdpm_tpu.ops import quantize as q
+        from nfdpm_tpu.training import diffusion_trainer as dt
+
+        backbone, flow_params, _ = setup
+        formater = CatFormater(L=GCFG.levels, in_channels=GCFG.in_channels,
+                               size=8)
+        dp = DiffusionPrior(formater=formater, unet_kwargs=UNET_KW,
+                            diffusion_kwargs=DIFF_KW)
+        assert dp.num_parts == 1
+        tcfg = dt.DiffusionTrainConfig(epochs=1)
+        tx = dt.make_two_group_optimizer(tcfg, frozen=True)
+        state = dt.init_train_state(0, backbone, flow_params, dp, tx)
+        loaders = read_dataset("synthetic", root="", batch_size=4, img_size=8,
+                               synthetic_fallback=True, synthetic_n=4)
+        base_key = jax.random.PRNGKey(1)
+        bpd = dt.calculate_bpd_with_diff_prior(
+            backbone, dp, tcfg, state["params"], loaders.test, base_key,
+            max_batches=1,
+        )
+
+        # host-side replica of batch_nll's formula on the same single batch
+        imgs, _labels, n_valid = next(iter(loaders.test.padded_batches()))
+        key = jax.random.fold_in(base_key, np.int32(0))
+        k_dq, k_nll = jax.random.split(key)
+        x = q.dequantize(k_dq, q.preprocess(jnp.asarray(imgs), tcfg.n_bits),
+                         tcfg.n_bits)
+        latents, ldj = backbone.transform(state["params"]["flow"], x)
+        # dimension conservation: the cat part covers every latent dim
+        (processed,) = formater.process_latents(latents)
+        total_latent_dims = sum(int(np.prod(z.shape[1:])) for z in latents)
+        assert int(np.prod(processed.shape[1:])) == total_latent_dims
+        nats = dp.neg_log_likelihood_nats(state["params"]["diffusion"],
+                                          k_nll, latents)
+        # ... and equals the per-dim API weighted by the PROCESSED shape
+        (per_dim,) = dp.evaluate_neg_log_likelihood(
+            state["params"]["diffusion"], k_nll, latents)
+        np.testing.assert_allclose(np.asarray(nats),
+                                   np.asarray(per_dim) * total_latent_dims,
+                                   rtol=1e-6)
+        n_bins = q.n_bins_of(tcfg.n_bits)
+        n_pixel = prior_m.n_pixels(8, GCFG.in_channels,
+                                   tcfg.compat_three_channel_bpd)
+        ll = np.asarray(ldj) - np.asarray(nats)
+        expected = float(np.mean(
+            ((math.log(n_bins) * n_pixel - ll)
+             * (np.log2(np.e) / n_pixel))[:n_valid]))
+        np.testing.assert_allclose(bpd, expected, rtol=1e-5)
+
 
 class TestEMA:
     """`ema_decay`: EMA shadow of the trainable params, updated in-step and
