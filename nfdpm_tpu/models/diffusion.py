@@ -164,6 +164,16 @@ class DiffusionConfig:
     ddim_sampling_eta: float = 0.0
     auto_normalize: bool = True
     self_condition: bool = False
+    vlb_clip_denoised: bool = True  # VLB/NLL eval only: clamp x0
+    # predictions to [-1,1] inside the scored reverse chain (reference-
+    # exact, gaussian_diffusion.py:869+:clip_denoised=True). Set false for
+    # latent-space priors — latents beyond [-1,1] make the clamped chain's
+    # KL terms explode. 'density' decoder always scores unclamped.
+    vlb_decoder: str = "discretized"  # t=0 decoder term of the VLB/NLL:
+    # 'discretized' = reference-exact ±0.1-bin tanh-CDF likelihood
+    # (gaussian_diffusion.py:46-74); 'density' = continuous Gaussian
+    # log-density (no [-1,1] x0 clamp) — the calibrated choice for
+    # LATENT-space VLBs composed with a flow logdet (see _vb_terms_bpd).
     sampling_method: str = "auto"   # 'auto' | 'ancestral' | 'ddim' | 'dpm++'
     # 'auto' reproduces the reference dispatch (DDIM iff
     # sampling_timesteps < timesteps, gaussian_diffusion.py:779-783).
@@ -552,15 +562,48 @@ class GaussianDiffusion:
 
     # -- VLB / NLL in bits (gaussian_diffusion.py:869-958) ----------------
     def _vb_terms_bpd(self, params, x_start, x_t, t, x_self_cond=None, clip_denoised=True):
+        if self.cfg.vlb_decoder == "density" or not self.cfg.vlb_clip_denoised:
+            # clamping x0 predictions to the image range [-1,1]
+            # (clip_denoised, inherited from the reference's image-space
+            # lucidrains base) scores a clamped reverse chain; flow latents
+            # live outside [-1,1], where the clamp inflates the KL terms by
+            # orders of magnitude. vlb_clip_denoised=false (and always in
+            # density mode) scores the unclamped chain instead.
+            clip_denoised = False
         true_mean, _, true_logvar = self.q_posterior(x_start, x_t, t)
         model_mean, _, model_logvar, _ = self.p_mean_variance(
             params, x_t, t, x_self_cond, clip_denoised
         )
         model_mean = jax.lax.stop_gradient(model_mean)
         kl = _mean_flat(normal_kl(true_mean, true_logvar, model_mean, model_logvar))
-        decoder_nll = -_mean_flat(
-            gaussian_log_likelihood(x_start, model_mean, 0.5 * model_logvar)
-        )
+        if self.cfg.vlb_decoder == "density":
+            # continuous Gaussian log-density at t=0: keeps the VLB a
+            # coherent bound on the model's continuous density, so it
+            # composes with a flow's change-of-variables into a calibrated
+            # image bits/dim (the reference's ±0.1-bin discretized decoder,
+            # gaussian_diffusion.py:46-74, saturates to -log P(bin) ≈ 0
+            # once the t=0 posterior std (~sqrt(beta_1), often ~1e-2) drops
+            # below the bin width — see docs/CIFAR_E2E.md).
+            # The schedule's t=0 posterior variance is exactly 0 (clamped
+            # to 1e-20, lucidrains-exact) — a density there is degenerate;
+            # substitute the t=1 posterior variance, improved-DDPM's own
+            # posterior_log_variance_clipped convention.
+            lv_floor = float(np.log(max(
+                float(self.sched.posterior_variance[min(
+                    1, len(self.sched.posterior_variance) - 1)]), 1e-20)))
+            dens_logvar = jnp.maximum(model_logvar, lv_floor)
+            decoder_nll = -_mean_flat(
+                -0.5 * np.log(2.0 * np.pi) - 0.5 * dens_logvar
+                - 0.5 * (x_start - model_mean) ** 2 * jnp.exp(-dens_logvar)
+            )
+        elif self.cfg.vlb_decoder == "discretized":
+            decoder_nll = -_mean_flat(
+                gaussian_log_likelihood(x_start, model_mean, 0.5 * model_logvar)
+            )
+        else:
+            raise ValueError(
+                f"unknown vlb_decoder: {self.cfg.vlb_decoder!r} "
+                "(expected 'discretized' or 'density')")
         return jnp.where(t == 0, decoder_nll, kl)
 
     def _prior_bpd(self, x_start):

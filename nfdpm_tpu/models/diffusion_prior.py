@@ -150,7 +150,15 @@ class DiffusionPrior:
     ) -> jax.Array:
         """Total VLB nats per batch element, summed over all processed parts —
         the correct prior term for a flow+diffusion-prior likelihood bound
-        regardless of formater (CatFormater's single part covers every latent
-        dim; zipping per-dim NLLs against the RAW flow latents' shapes would
-        drop dims)."""
-        return sum(nll for nll, _ in self._per_part_nll_nats(params, key, latents))
+        regardless of formater.
+
+        Units: GaussianDiffusion.neg_log_likelihood returns the reference's
+        calc_neg_log_likelihood_loop value — a sum of MEAN-over-dims terms
+        (gaussian_diffusion.py:869-904, i.e. per-DIM nats), so the per-image
+        total is that value × the processed part's dim count. (The reference
+        never combines these into a bpd — its calculate_bpd_with_diff_prior
+        is dead code that subtracts the per-dim value from a per-image
+        log-likelihood, diffusion_prior/trainer.py:45 — so this scaling is
+        part of the greenfield corrected metric.)"""
+        return sum(nll * float(np.prod(shape[1:]))
+                   for nll, shape in self._per_part_nll_nats(params, key, latents))

@@ -113,6 +113,10 @@ def main(argv):
         sampling_method=str(cfg.select("model.diffusion.sampling_method",
                                        "auto")),
         vlb_time_chunk=int(cfg.select("model.diffusion.vlb_time_chunk", 4)),
+        vlb_decoder=str(cfg.select("model.diffusion.vlb_decoder",
+                                   "discretized")),
+        vlb_clip_denoised=bool(cfg.select("model.diffusion.vlb_clip_denoised",
+                                          True)),
     )
     # mesh first: the prior's sampler chains batch-shard over it (diffusion
     # FID-scale generation runs data-parallel; single device => no-op)

@@ -274,6 +274,78 @@ class TestVlbTimeChunk:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestVlbDecoderCalibration:
+    """vlb_decoder='density' (greenfield): a continuous Gaussian t=0 decoder
+    that makes the latent-space VLB a coherent density bound. Calibrated
+    against the analytic Gaussian oracle (same closed-form optimal
+    eps-prediction as TestDpmppSampler): for data ~ N(mu, s^2), the true
+    per-dim NLL is the differential entropy h = 0.5*log(2*pi*e*s^2). The
+    reference's ±0.1-bin discretized decoder (gaussian_diffusion.py:46-74)
+    and its [-1,1] x0 clamp are both mis-scaled for latents — measured here
+    (docs/CIFAR_E2E.md has the trained-checkpoint numbers)."""
+
+    def _vlb_per_dim(self, mu, s, T_, **cfg_kw):
+        sched = gd.make_schedule("cosine", T_)
+        sac = jnp.asarray(sched.sqrt_alphas_cumprod)
+        soac = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+        ac = jnp.asarray(sched.alphas_cumprod)
+
+        def eps_star(params, x, t, sc):
+            a = jnp.take(sac, t).reshape((-1,) + (1,) * (x.ndim - 1))
+            sig = jnp.take(soac, t).reshape(a.shape)
+            acb = jnp.take(ac, t).reshape(a.shape)
+            return sig * (x - a * mu) / (acb * s * s + sig * sig)
+
+        cfg = gd.DiffusionConfig(image_size=1, channels=1, timesteps=T_,
+                                 beta_schedule="cosine", auto_normalize=False,
+                                 **cfg_kw)
+        diff = gd.GaussianDiffusion(eps_star, cfg)
+        x0 = mu + s * jax.random.normal(jax.random.PRNGKey(0), (1024, 1, 1, 1))
+        nll = jax.jit(lambda k: diff.neg_log_likelihood({}, k, x0))(
+            jax.random.PRNGKey(1))
+        return float(jnp.mean(nll))
+
+    def test_density_decoder_is_calibrated_bound(self):
+        mu, s, T_ = 0.15, 0.2, 200
+        h = 0.5 * np.log(2 * np.pi * np.e * s * s)
+        dens = self._vlb_per_dim(mu, s, T_, vlb_decoder="density")
+        disc = self._vlb_per_dim(mu, s, T_, vlb_decoder="discretized")
+        # valid bound: VLB >= true NLL (mc slack 0.02); measured 0.41 vs -0.19
+        assert dens >= h - 0.02
+        # calibrated: within 1 nat of truth (the residual is the fixed
+        # beta-tilde model variance vs the data's true posterior variance)
+        assert abs(dens - h) < 1.0
+        # and strictly closer to truth than the reference's discretized
+        # decoder (measured 3.05 — the ±0.1 bin mass is not a density)
+        assert abs(dens - h) < abs(disc - h)
+
+    def test_clip_denoised_explodes_on_out_of_range_latents(self):
+        """At data std 1.0 (half the mass outside [-1,1] — the flow-latent
+        regime) the reference-exact clamped chain's KLs explode (measured
+        ~297 nats/dim vs truth 1.42); vlb_clip_denoised=false scores the
+        unclamped chain sanely. This is why latent-prior bpd evals should
+        disable the clamp."""
+        mu, s, T_ = 0.15, 1.0, 200
+        h = 0.5 * np.log(2 * np.pi * np.e * s * s)
+        clamped = self._vlb_per_dim(mu, s, T_, vlb_decoder="discretized",
+                                    vlb_clip_denoised=True)
+        unclamped = self._vlb_per_dim(mu, s, T_, vlb_decoder="discretized",
+                                      vlb_clip_denoised=False)
+        dens = self._vlb_per_dim(mu, s, T_, vlb_decoder="density")
+        assert clamped > 50.0
+        assert unclamped < 10.0
+        assert dens >= h - 0.02 and abs(dens - h) < 1.0
+
+    def test_unknown_decoder_raises(self, tiny):
+        import dataclasses
+        diff, params = tiny
+        d2 = gd.GaussianDiffusion(
+            diff.model_apply, dataclasses.replace(diff.cfg, vlb_decoder="bogus"))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3)) * 0.1
+        with pytest.raises(ValueError):
+            d2.neg_log_likelihood(params, jax.random.PRNGKey(2), x)
+
+
 class TestExtras:
     def test_return_all_timesteps(self, tiny):
         diff, params = tiny

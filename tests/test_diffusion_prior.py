@@ -257,12 +257,20 @@ class TestDiffusionTrainer:
         assert int(np.prod(processed.shape[1:])) == total_latent_dims
         nats = dp.neg_log_likelihood_nats(state["params"]["diffusion"],
                                           k_nll, latents)
-        # ... and equals the per-dim API weighted by the PROCESSED shape
+        # ... and equals the part's own calc-loop value (a per-DIM quantity,
+        # gaussian_diffusion.py:869-904 sums MEAN-over-dims terms) scaled to
+        # per-image nats by the processed dim count
+        l_per_dim = dp.parts[0].neg_log_likelihood(
+            state["params"]["diffusion"]["parts"][0],
+            jax.random.fold_in(k_nll, 0), processed)
+        np.testing.assert_allclose(np.asarray(nats),
+                                   np.asarray(l_per_dim) * total_latent_dims,
+                                   rtol=1e-6)
+        # reference-parity per-dim API: calc-loop value / processed dims
         (per_dim,) = dp.evaluate_neg_log_likelihood(
             state["params"]["diffusion"], k_nll, latents)
-        np.testing.assert_allclose(np.asarray(nats),
-                                   np.asarray(per_dim) * total_latent_dims,
-                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(per_dim) * total_latent_dims,
+                                   np.asarray(l_per_dim), rtol=1e-6)
         n_bins = q.n_bins_of(tcfg.n_bits)
         n_pixel = prior_m.n_pixels(8, GCFG.in_channels,
                                    tcfg.compat_three_channel_bpd)
