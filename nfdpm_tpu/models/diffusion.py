@@ -36,7 +36,13 @@ import numpy as np
 
 def linear_beta_schedule(timesteps: int) -> np.ndarray:
     scale = 1000.0 / timesteps
-    return np.linspace(scale * 1e-4, scale * 0.02, timesteps, dtype=np.float64)
+    betas = np.linspace(scale * 1e-4, scale * 0.02, timesteps, dtype=np.float64)
+    # Cap at 0.999 (improved-DDPM's max-beta rule, same cap the cosine
+    # schedule applies): the 1000/T scaling drives beta to 1.0 for T<=20,
+    # where alphas_cumprod hits exactly 0 and the x0-from-noise projection
+    # (sqrt_recip_alphas_cumprod) becomes inf. No production T is affected
+    # (T=1000 -> beta_end=0.02; even T=50 -> 0.4).
+    return np.clip(betas, 0.0, 0.999)
 
 
 def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
@@ -82,6 +88,14 @@ class Schedule(NamedTuple):
     posterior_mean_coef1: np.ndarray
     posterior_mean_coef2: np.ndarray
     p2_loss_weight: np.ndarray
+    log_betas: np.ndarray
+    # Improved-DDPM's learned-variance interpolation frontier (Nichol &
+    # Dhariwal 2021, eq. 15): the model's variance output interpolates in
+    # log space between beta_t (upper) and beta-tilde_t (lower). The lower
+    # endpoint substitutes posterior_variance[1] at t=0 (their
+    # posterior_log_variance_clipped convention) — the t=0 posterior
+    # variance is exactly 0, so its log is degenerate.
+    posterior_log_variance_ipd: np.ndarray
 
 
 def make_schedule(
@@ -107,6 +121,10 @@ def make_schedule(
         posterior_mean_coef1=f32(betas * np.sqrt(ac_prev) / (1 - ac)),
         posterior_mean_coef2=f32((1 - ac_prev) * np.sqrt(alphas) / (1 - ac)),
         p2_loss_weight=f32((p2_k + ac / (1 - ac)) ** -p2_gamma),
+        log_betas=f32(np.log(betas)),
+        posterior_log_variance_ipd=f32(
+            np.log(np.append(post_var[1] if len(post_var) > 1 else betas[0],
+                             post_var[1:]))),
     )
 
 
@@ -164,6 +182,21 @@ class DiffusionConfig:
     ddim_sampling_eta: float = 0.0
     auto_normalize: bool = True
     self_condition: bool = False
+    learned_variance: bool = False  # improved-DDPM (Nichol & Dhariwal
+    # 2021) learned reverse variances: the model outputs 2C channels —
+    # [prediction, v] — and the reverse log-variance interpolates
+    # v-fractionally between log(beta_t) and log(beta-tilde_t). Training
+    # adds the hybrid loss's VLB term (gradients reach ONLY the variance
+    # half, the mean half is stop-gradded — paper §3.1), samplers draw
+    # with the learned variance, and the full-T VLB scores it. GREENFIELD:
+    # the reference's vendored lucidrains code declares a learned_variance
+    # flag but never implements the variance path; the thesis's
+    # fixed-variance VLB carries an irreducible ~0.64 nats/dim overhead at
+    # T=1000 (docs/CIFAR_E2E.md oracle) that this removes.
+    vlb_loss_weight: float = 1.0  # multiplier on the hybrid loss's
+    # canonical lambda*L_vlb term (the T/1000 scaling of the per-t VLB
+    # estimate == the paper's lambda=0.001 on the full L_vlb). Only used
+    # when learned_variance=True.
     vlb_clip_denoised: bool = True  # VLB/NLL eval only: clamp x0
     # predictions to [-1,1] inside the scored reverse chain (reference-
     # exact, gaussian_diffusion.py:869+:clip_denoised=True). Set false for
@@ -291,8 +324,34 @@ class GaussianDiffusion:
             - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
         )
 
-    def model_predictions(self, params, x, t, x_self_cond=None, clip_x_start=False):
-        out = self.model_apply(params, x, t, x_self_cond)
+    def _split_model_out(self, out):
+        """[prediction, raw variance interpolant] when learned_variance;
+        (out, None) otherwise. The split is along channels, matching the
+        UNet's effective_out_dim = 2*channels layout."""
+        if not self.cfg.learned_variance:
+            return out, None
+        return jnp.split(out, 2, axis=-1)
+
+    def _learned_logvar(self, var_raw, t, ndim: int):
+        """Interpolated log-variance (improved-DDPM eq. 15): the raw model
+        output is mapped to a fraction f = (v+1)/2 and
+        logvar = f*log(beta_t) + (1-f)*log(beta-tilde_t)."""
+        s = self.sched
+        frac = (var_raw + 1.0) * 0.5
+        min_log = _extract(s.posterior_log_variance_ipd, t, ndim)
+        max_log = _extract(s.log_betas, t, ndim)
+        return frac * max_log + (1.0 - frac) * min_log
+
+    def model_predictions(self, params, x, t, x_self_cond=None,
+                          clip_x_start=False, model_out=None,
+                          return_var=False):
+        """`model_out` short-circuits the model call (used by the hybrid
+        loss to score the VLB term on the SAME forward pass);
+        `return_var=True` appends the raw variance interpolant (None unless
+        learned_variance)."""
+        out = (self.model_apply(params, x, t, x_self_cond)
+               if model_out is None else model_out)
+        out, var_raw = self._split_model_out(out)
         clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
         if self.cfg.objective == "pred_noise":
             pred_noise = out
@@ -305,13 +364,20 @@ class GaussianDiffusion:
             pred_noise = self.predict_noise_from_start(x, t, x_start)
         else:
             raise ValueError(self.cfg.objective)
+        if return_var:
+            return pred_noise, x_start, var_raw
         return pred_noise, x_start
 
-    def p_mean_variance(self, params, x, t, x_self_cond=None, clip_denoised=True):
-        _, x_start = self.model_predictions(params, x, t, x_self_cond)
+    def p_mean_variance(self, params, x, t, x_self_cond=None,
+                        clip_denoised=True, model_out=None):
+        _, x_start, var_raw = self.model_predictions(
+            params, x, t, x_self_cond, model_out=model_out, return_var=True)
         if clip_denoised:
             x_start = jnp.clip(x_start, -1.0, 1.0)
         mean, var, logvar = self.q_posterior(x_start, x, t)
+        if self.cfg.learned_variance:
+            logvar = self._learned_logvar(var_raw, t, x.ndim)
+            var = jnp.exp(logvar)
         return mean, var, logvar, x_start
 
     # -- training loss (gaussian_diffusion.py:823-867) --------------------
@@ -334,7 +400,8 @@ class GaussianDiffusion:
                 operand=None,
             )
 
-        out = self.model_apply(params, x, t, x_self_cond)
+        out_full = self.model_apply(params, x, t, x_self_cond)
+        out, var_raw = self._split_model_out(out_full)
         if self.cfg.objective == "pred_noise":
             target = noise
         elif self.cfg.objective == "pred_x0":
@@ -352,7 +419,24 @@ class GaussianDiffusion:
             raise ValueError(self.cfg.loss_type)
         loss = _mean_flat(loss)
         loss = loss * jnp.take(jnp.asarray(self.sched.p2_loss_weight), t)
-        return jnp.mean(loss)
+        loss = jnp.mean(loss)
+
+        if self.cfg.learned_variance:
+            # Hybrid loss (improved-DDPM §3.1): L_simple + lambda*L_vlb on
+            # the SAME forward pass, with the prediction half stop-gradded
+            # so the VLB trains only the variance output. The per-t VLB
+            # term times T/1000 is the paper's lambda=0.001 * L_vlb
+            # estimate (uniform-t sampling: E_t[L_t] = L_vlb / T).
+            frozen = jnp.concatenate(
+                [jax.lax.stop_gradient(out), var_raw], axis=-1)
+            vb = self._vb_terms_bpd(
+                params, x_start, x, t, x_self_cond, clip_denoised=False,
+                model_out=frozen)
+            loss = loss + (
+                self.cfg.vlb_loss_weight
+                * (self.num_timesteps / 1000.0)
+                * jnp.mean(vb))
+        return loss
 
     def loss(self, params, key, img):
         """forward() semantics: t ~ U[0, T), normalize, p_losses
@@ -561,7 +645,8 @@ class GaussianDiffusion:
         return img
 
     # -- VLB / NLL in bits (gaussian_diffusion.py:869-958) ----------------
-    def _vb_terms_bpd(self, params, x_start, x_t, t, x_self_cond=None, clip_denoised=True):
+    def _vb_terms_bpd(self, params, x_start, x_t, t, x_self_cond=None,
+                      clip_denoised=True, model_out=None):
         if self.cfg.vlb_decoder == "density" or not self.cfg.vlb_clip_denoised:
             # clamping x0 predictions to the image range [-1,1]
             # (clip_denoised, inherited from the reference's image-space
@@ -572,7 +657,7 @@ class GaussianDiffusion:
             clip_denoised = False
         true_mean, _, true_logvar = self.q_posterior(x_start, x_t, t)
         model_mean, _, model_logvar, _ = self.p_mean_variance(
-            params, x_t, t, x_self_cond, clip_denoised
+            params, x_t, t, x_self_cond, clip_denoised, model_out=model_out
         )
         model_mean = jax.lax.stop_gradient(model_mean)
         kl = _mean_flat(normal_kl(true_mean, true_logvar, model_mean, model_logvar))

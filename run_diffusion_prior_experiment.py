@@ -102,6 +102,8 @@ def main(argv):
         learned_sinusoidal_cond=bool(cfg.model.unet.learned_sinusoidal_cond),
         random_fourier_features=bool(cfg.model.unet.random_fourier_features),
         learned_sinusoidal_dim=int(cfg.model.unet.learned_sinusoidal_dim),
+        learned_variance=bool(cfg.select("model.diffusion.learned_variance",
+                                         False)),
     )
     diffusion_kwargs = dict(
         timesteps=int(cfg.model.diffusion.timesteps),
@@ -117,6 +119,10 @@ def main(argv):
                                    "discretized")),
         vlb_clip_denoised=bool(cfg.select("model.diffusion.vlb_clip_denoised",
                                           True)),
+        learned_variance=bool(cfg.select("model.diffusion.learned_variance",
+                                         False)),
+        vlb_loss_weight=float(cfg.select("model.diffusion.vlb_loss_weight",
+                                         1.0)),
     )
     # mesh first: the prior's sampler chains batch-shard over it (diffusion
     # FID-scale generation runs data-parallel; single device => no-op)
