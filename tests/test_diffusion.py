@@ -598,6 +598,37 @@ class TestLearnedVariance:
         assert abs(gaps[True]) < 0.1      # learned variance: calibrated to truth
         assert gaps[False] - gaps[True] > 0.5
 
+    def test_dpmpp_ignores_variance_half(self):
+        """DPM++(2M) is a PF-ODE solver over the PREDICTION only: with
+        learned_variance=True (2C model output) its samples must be
+        bit-identical to the fixed-variance sampler fed the same prediction
+        (the variance half may only affect ancestral sampling and the VLB)."""
+        import dataclasses
+
+        def pred_fn(params, x, t, sc):
+            return 0.3 * x + params["b"]
+
+        def apply_2c(params, x, t, sc):
+            return jnp.concatenate(
+                [pred_fn(params, x, t, sc), jnp.full_like(x, 7.0)], axis=-1)
+
+        kw = dict(image_size=8, channels=3, timesteps=T, sampling_timesteps=4,
+                  loss_type="l2", beta_schedule="cosine", auto_normalize=False,
+                  sampling_method="dpm++")
+        d_fixed = gd.GaussianDiffusion(
+            pred_fn, gd.DiffusionConfig(learned_variance=False, **kw))
+        d_learned = gd.GaussianDiffusion(
+            apply_2c, gd.DiffusionConfig(learned_variance=True, **kw))
+        params = {"b": jnp.float32(0.05)}
+        key = jax.random.PRNGKey(11)
+        a = d_fixed.dpmpp_sample(params, key, (2, 8, 8, 3))
+        b = d_learned.dpmpp_sample(params, key, (2, 8, 8, 3))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # same contract for DDIM (both eta=0 deterministic chains)
+        a = d_fixed.ddim_sample(params, key, (2, 8, 8, 3))
+        b = d_learned.ddim_sample(params, key, (2, 8, 8, 3))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_unet_learned_variance_end_to_end(self):
         """Real UNet with learned_variance: 2C output channels, finite hybrid
         loss with gradients on every leaf, finite ancestral + DDIM samples,
