@@ -299,6 +299,18 @@ class TestOfflineDatasetMakers:
         # maker labels are 1-indexed like the real download
         assert loaders.train.dataset.labels.min() >= 1
 
+    def test_imagenet64_maker(self, tmp_path):
+        self._run("make_synthetic_imagenet32.py",
+                  ["--root", str(tmp_path), "--res", "64", "--per-batch", "8",
+                   "--n-val", "4"])
+        loaders = read_dataset("imagenet64", str(tmp_path), batch_size=4,
+                               img_size=64)
+        # res-64 train is the SINGLE train_data file (utils.py:105-111)
+        assert len(loaders.train.dataset) == 8
+        assert len(loaders.test.dataset) == 4
+        imgs, _ = next(iter(loaders.train.iter_epoch(0)))
+        assert imgs.shape == (4, 64, 64, 3)
+
     def test_celeba_maker(self, tmp_path):
         self._run("make_synthetic_celeba.py",
                   ["--root", str(tmp_path), "--n-train", "6", "--n-val", "2",
