@@ -109,11 +109,25 @@ def clear_mid_epoch_marker(run_dir: str) -> None:
         os.remove(path)
 
 
+def _host_abstract(leaf: Any) -> Any:
+    """Numpy-zeros template leaf: Orbax restores it as a HOST np.ndarray,
+    never touching a device. Device placement is the caller's job (one
+    batched transfer on first jit call) — restoring leaf-by-leaf onto a
+    tunneled TPU costs a roundtrip per tensor (~155 leaves for the MNIST
+    Glow state = minutes of wall-clock, measured; host restore is ~0.2 s)."""
+    import numpy as np
+
+    if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+        return np.zeros(leaf.shape, leaf.dtype)
+    return leaf
+
+
 def restore_state(run_dir: str, prefix: str, epoch: int, template: Any) -> Any:
-    """Restore into the shape/dtype structure of `template`."""
+    """Restore into the shape/dtype structure of `template`, as HOST numpy
+    arrays (see `_host_abstract`; callers re-place under their mesh)."""
     wait_for_saves()  # the target may still be committing on the writer thread
     path = os.path.abspath(os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    abstract = jax.tree.map(_host_abstract, template)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, abstract)
 
@@ -135,10 +149,12 @@ def restore_params(run_dir: str, prefix: str, epoch: int,
 
     Unlike `restore_state` this needs no optimizer reconstruction (the
     opt_state structure varies with optimizer type / frozen-flow groups and
-    is not recorded in architecture.json), and the explicit default-device
-    sharding on the abstract leaves means checkpoints saved under ANY mesh
-    topology restore cleanly on the current host. This is the right call
-    for inference-only consumers (generation/interpolation tools).
+    is not recorded in architecture.json), and the host-numpy abstract
+    leaves (`_host_abstract`) mean checkpoints saved under ANY mesh
+    topology restore cleanly on the current host — with zero device
+    traffic (a per-leaf restore onto a tunneled TPU measured minutes; see
+    `_host_abstract`). This is the right call for inference-only consumers
+    (generation/interpolation tools).
 
     `prefer_ema=True` substitutes the checkpoint's EMA weights (diffusion
     trainer's `ema_decay`) over the live params where present — the right
@@ -146,12 +162,9 @@ def restore_params(run_dir: str, prefix: str, epoch: int,
     wait_for_saves()
     path = os.path.abspath(
         os.path.join(_ckpt_dir(run_dir), f"model_{prefix}_{epoch:03d}"))
-    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
     with ocp.StandardCheckpointer() as ckptr:
         meta = ckptr.metadata(path).item_metadata.tree
-        abstract = jax.tree.map(
-            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
-            meta)
+        abstract = jax.tree.map(_host_abstract, meta)
         tree = ckptr.restore(path, abstract)
         params = tree["params"]
         if prefer_ema and "ema" in tree:
