@@ -48,8 +48,13 @@ class DiffusionPrior:
     def __post_init__(self):
         self.parts: List[GaussianDiffusion] = []
         self._unets: List[Unet] = []
+        ukw = dict(self.unet_kwargs)
+        if isinstance(ukw.get("dtype"), str):
+            # unet_kwargs round-trip through diffusion_architecture.json, so
+            # the mixed-precision knob travels as a string ("bfloat16")
+            ukw["dtype"] = jnp.dtype(ukw["dtype"])
         for (h, w, c) in self.formater.input_shapes:
-            unet = Unet(channels=c, **self.unet_kwargs)
+            unet = Unet(channels=c, **ukw)
             dcfg = DiffusionConfig(
                 image_size=h,
                 channels=c,
@@ -104,22 +109,27 @@ class DiffusionPrior:
         denoise chain back (model.py:137-138 -> DiffusionModel
         sample_latent_given_start, model.py:57-70)."""
         out = []
-        for i, (diff, z) in enumerate(zip(self.parts, latents)):
+        # standardize in / inv-standardize out: the diffusion models are
+        # trained in the formater's standardized space (identity w/o stats)
+        for i, (diff, z) in enumerate(
+                zip(self.parts, self.formater.standardize_latents(latents))):
             out.append(diff.sample_given_start(
                 params["parts"][i], jax.random.fold_in(key, i), z
             ))
-        return out
+        return self.formater.inv_standardize_latents(out)
 
     def interpolate_latents(
         self, params, key, latents1, latents2, lam: float = 0.5
     ) -> List[jax.Array]:
         """Per-part diffusion interpolation at t=T-1 on part-shaped latents
         (model.py:149-150)."""
+        l1 = self.formater.standardize_latents(latents1)
+        l2 = self.formater.standardize_latents(latents2)
         out = []
         for i, diff in enumerate(self.parts):
             out.append(diff.interpolate(params["parts"][i], jax.random.fold_in(key, i),
-                                        latents1[i], latents2[i], t=None, lam=lam))
-        return out
+                                        l1[i], l2[i], t=None, lam=lam))
+        return self.formater.inv_standardize_latents(out)
 
     # -- evaluation -------------------------------------------------------
     def _per_part_nll_nats(
@@ -159,6 +169,12 @@ class DiffusionPrior:
         never combines these into a bpd — its calculate_bpd_with_diff_prior
         is dead code that subtracts the per-dim value from a per-image
         log-likelihood, diffusion_prior/trainer.py:45 — so this scaling is
-        part of the greenfield corrected metric.)"""
+        part of the greenfield corrected metric.)
+
+        When the formater standardizes (stats set), the VLB is computed in
+        standardized space; the constant change-of-variables term
+        sum(log std) converts it back to a raw-latent NLL so the flow+prior
+        bound stays comparable across standardization settings."""
         return sum(nll * float(np.prod(shape[1:]))
-                   for nll, shape in self._per_part_nll_nats(params, key, latents))
+                   for nll, shape in self._per_part_nll_nats(params, key, latents)
+                   ) + self.formater.stats_log_sigma_total()

@@ -8,9 +8,15 @@ Capability parity with /root/reference/diffusion_prior/latent_formaters.py:
     space-to-depth, same channel order as the flow's squeeze) to the MIDDLE
     part's resolution and concatenated channel-wise into ONE tensor;
     `postprocess` is the exact inverse.
-  * `standardize_latents` / `inv_standardize_latents` hooks exist and are
-    identity, matching the reference's current behavior (:68-86, scaling
-    commented out there).
+  * `standardize_latents` / `inv_standardize_latents` hooks: identity by
+    default, matching the reference's current behavior (:68-86, scaling
+    commented out there). With `stats` set (per-processed-part channelwise
+    mean/std, fitted by `fit_formater_stats`), they apply real
+    z' = (z - mean)/std scaling — the capability the reference stubbed
+    out. Standardizing changes the latent density by a constant Jacobian,
+    -log p_z(z) = -log p_z'(z') + sum(log std) over dims; consumers add
+    `stats_log_sigma_total()` to any NLL computed in standardized space
+    (DiffusionPrior.neg_log_likelihood_nats does this).
 
 Unlike the reference's stateful implementation (which records shapes seen at
 process time in mutable dicts, :155,182-233), these formaters are stateless
@@ -22,7 +28,7 @@ Shapes are NHWC.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -40,6 +46,11 @@ def _latent_shapes(L: int, in_channels: int, size: int) -> List[Tuple[int, int, 
     return latent_shapes_nhwc(GlowConfig(in_channels=in_channels, levels=L), size)
 
 
+# per-processed-part ((mean_c, ...), (std_c, ...)) channelwise stats; plain
+# float tuples keep the frozen dataclass hashable + JSON-serializable
+StatsT = Tuple[Tuple[Tuple[float, ...], Tuple[float, ...]], ...]
+
+
 @dataclasses.dataclass(frozen=True)
 class BaseFormater:
     """Common interface (latent_formaters.py:13-86)."""
@@ -47,17 +58,51 @@ class BaseFormater:
     L: int
     in_channels: int
     size: int
+    stats: Optional[StatsT] = None  # None => identity hooks (reference behavior)
 
     @property
     def latent_shapes(self) -> List[Tuple[int, int, int]]:
         return _latent_shapes(self.L, self.in_channels, self.size)
 
-    # identity hooks, matching the reference's current no-op behavior
+    # standardization hooks: identity without stats (the reference's no-op
+    # behavior); channelwise (z - mean)/std over the PROCESSED parts with
     def standardize_latents(self, latents: Sequence[jnp_Array]) -> List[jnp_Array]:
-        return list(latents)
+        if self.stats is None:
+            return list(latents)
+        assert len(latents) == len(self.stats), (len(latents), len(self.stats))
+        out = []
+        for z, (mean, std) in zip(latents, self.stats):
+            m = jax.numpy.asarray(mean, z.dtype)
+            s = jax.numpy.asarray(std, z.dtype)
+            out.append((z - m) / s)
+        return out
 
     def inv_standardize_latents(self, latents: Sequence[jnp_Array]) -> List[jnp_Array]:
-        return list(latents)
+        if self.stats is None:
+            return list(latents)
+        assert len(latents) == len(self.stats), (len(latents), len(self.stats))
+        out = []
+        for z, (mean, std) in zip(latents, self.stats):
+            m = jax.numpy.asarray(mean, z.dtype)
+            s = jax.numpy.asarray(std, z.dtype)
+            out.append(z * s + m)
+        return out
+
+    def stats_log_sigma_total(self) -> float:
+        """Total sum(log std) over ALL standardized dims — the constant
+        change-of-variables term relating an NLL computed in standardized
+        space to the raw-latent NLL: NLL_z = NLL_z' + this. 0.0 without
+        stats (identity hooks have unit Jacobian)."""
+        if self.stats is None:
+            return 0.0
+        total = 0.0
+        for (h, w, c), (_mean, std) in zip(self.input_shapes, self.stats):
+            assert len(std) == c, (len(std), c)
+            total += float(h) * float(w) * float(np.sum(np.log(np.asarray(std, np.float64))))
+        return total
+
+    def with_stats(self, stats: StatsT) -> "BaseFormater":
+        return dataclasses.replace(self, stats=stats)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,3 +187,48 @@ def get_formater(name: str):
     if name == "CatFormater":
         return CatFormater
     raise ValueError("Invalid formater name")
+
+
+def stats_from_json(obj) -> Optional[StatsT]:
+    """Rehydrate stats persisted in diffusion_architecture.json (tuples
+    serialize as lists). None/empty -> None (identity hooks)."""
+    if not obj:
+        return None
+    return tuple((tuple(float(x) for x in mean), tuple(float(x) for x in std))
+                 for mean, std in obj)
+
+
+def fit_formater_stats(formater: BaseFormater, latent_batches,
+                       eps: float = 1e-6) -> StatsT:
+    """Channelwise mean/std of the formater's PROCESSED parts.
+
+    `latent_batches` iterates over lists of raw flow-latent parts (one list
+    per batch, NHWC). Geometry (squeeze/cat) is applied WITHOUT any
+    existing standardization, then first/second moments accumulate per
+    channel in float64 on host. Std is floored at `eps` so degenerate
+    channels can't blow up the inverse. Returns the plain-float stats
+    tuple for `formater.with_stats(...)` — the real implementation of the
+    scaling the reference commented out (latent_formaters.py:68-86)."""
+    base = dataclasses.replace(formater, stats=None)
+    sums = sumsqs = counts = None
+    for latents in latent_batches:
+        parts = base.process_latents([jax.numpy.asarray(z) for z in latents])
+        parts = [np.asarray(z, np.float64) for z in parts]
+        if sums is None:
+            sums = [np.zeros(z.shape[-1]) for z in parts]
+            sumsqs = [np.zeros(z.shape[-1]) for z in parts]
+            counts = [0.0] * len(parts)
+        for i, z in enumerate(parts):
+            sums[i] += z.sum(axis=(0, 1, 2))
+            sumsqs[i] += (z * z).sum(axis=(0, 1, 2))
+            counts[i] += float(np.prod(z.shape[:-1]))
+    if sums is None:
+        raise ValueError("fit_formater_stats: empty latent_batches")
+    stats = []
+    for s, ss, c in zip(sums, sumsqs, counts):
+        mean = s / c
+        var = np.maximum(ss / c - mean * mean, 0.0)
+        std = np.maximum(np.sqrt(var), eps)
+        stats.append((tuple(float(v) for v in mean),
+                      tuple(float(v) for v in std)))
+    return tuple(stats)

@@ -23,6 +23,7 @@ import re
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -115,8 +116,6 @@ def _host_abstract(leaf: Any) -> Any:
     batched transfer on first jit call) — restoring leaf-by-leaf onto a
     tunneled TPU costs a roundtrip per tensor (~155 leaves for the MNIST
     Glow state = minutes of wall-clock, measured; host restore is ~0.2 s)."""
-    import numpy as np
-
     if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
         return np.zeros(leaf.shape, leaf.dtype)
     return leaf

@@ -359,6 +359,36 @@ def calculate_bpd_with_diff_prior(
     return mean, count, stderr
 
 
+def fit_latent_stats(
+    backbone: NFBackbone, flow_params, formater, tcfg: DiffusionTrainConfig,
+    loader: Loader, *, n_batches: int = 8, seed: int = 0,
+):
+    """Fit channelwise latent-standardization stats from the data stream.
+
+    Pushes `n_batches` batches through the (pre/de-quantized, exactly as in
+    training) flow forward and accumulates per-channel moments of the
+    formater's PROCESSED parts (models/formaters.fit_formater_stats) — the
+    real implementation of the per-part scaling the reference stubbed out
+    as identity (latent_formaters.py:68-86). Deterministic given (seed,
+    loader): resume/eval can refit identically, but callers should persist
+    the stats in diffusion_architecture.json and reload instead."""
+    from ..models.formaters import fit_formater_stats
+
+    fwd = jax.jit(lambda fp, x, k: backbone.transform(
+        fp, q.dequantize(k, q.preprocess(x, tcfg.n_bits), tcfg.n_bits))[0])
+    key = jax.random.PRNGKey(seed)
+
+    def gen():
+        for i, (imgs, _labels, n_valid) in enumerate(loader.padded_batches()):
+            if i >= n_batches:
+                break
+            latents = fwd(flow_params, jnp.asarray(imgs),
+                          jax.random.fold_in(key, i))
+            yield [np.asarray(z)[:n_valid] for z in latents]
+
+    return fit_formater_stats(formater, gen())
+
+
 def train(
     *,
     backbone: NFBackbone,

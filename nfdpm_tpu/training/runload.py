@@ -9,9 +9,9 @@ persists its full architecture (`architecture.json` from the NF trainer,
 consumer — the generation CLI, the interpolation CLI, later eval jobs —
 can rebuild the exact model from the directory with no config.
 
-All loaders normalize restored leaves through `np.asarray` so checkpoints
-saved under any mesh topology restore onto the current devices (see
-tests/test_parallel.py cross-topology cases).
+`restore_params` returns host numpy leaves, so checkpoints saved under
+any mesh topology restore onto the current devices (placement happens on
+first jit call; see tests/test_parallel.py cross-topology cases).
 """
 
 from __future__ import annotations
@@ -21,7 +21,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..models import glow as glow_m
 from .checkpoint import latest_epoch, load_architecture, restore_params
@@ -109,7 +108,7 @@ def load_glow_run(run_dir: str, epoch: Optional[int] = None) -> GlowRun:
         n_bits=int(arch.get("n_bits", 5)),
         compat_fixed_prior=bool(arch.get("fixed_prior", True)),
     )
-    params = jax.tree.map(np.asarray, restore_params(run_dir, "gaussian", epoch))
+    params = restore_params(run_dir, "gaussian", epoch)  # host numpy
     temperature = arch.get("temperature")
     if temperature is None:
         temperature = _config_temperature(run_dir)
@@ -218,8 +217,14 @@ def load_diffusion_run(
     img_size = int(fl["img_size"])
     frozen = bool(arch.get("frozen", True))
     backbone = NFBackbone(cfg=gcfg, img_size=img_size, frozen=frozen)
+    from ..models.formaters import stats_from_json
+
     formater = get_formater(arch["formater"])(
-        L=gcfg.levels, in_channels=gcfg.in_channels, size=img_size)
+        L=gcfg.levels, in_channels=gcfg.in_channels, size=img_size,
+        # standardization stats (if the run fitted them): the diffusion
+        # models live in the standardized space, so every consumer must
+        # rebuild the formater with the SAME stats
+        stats=stats_from_json(arch.get("formater_stats")))
     dkw = dict(arch["diffusion_kwargs"])
     if ddim is not None:
         dkw["sampling_timesteps"] = ddim
@@ -234,9 +239,8 @@ def load_diffusion_run(
         n_bits=int(arch.get("n_bits", 5)),
         temperature=float(arch.get("temperature", 1.0)),
     )
-    params = jax.tree.map(np.asarray,
-                          restore_params(run_dir, "diffusion", epoch,
-                                         prefer_ema=use_ema))
+    params = restore_params(run_dir, "diffusion", epoch,
+                            prefer_ema=use_ema)  # host numpy
     return DiffusionRun(
         backbone=backbone, dp=dp, tcfg=tcfg, params=params,
         img_size=img_size, temperature=tcfg.temperature, epoch=epoch,

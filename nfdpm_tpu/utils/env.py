@@ -22,6 +22,31 @@ import numpy as np
 DEFAULT_COMPILE_CACHE = os.path.expanduser("~/.nfdpm_tpu/jax_cache")
 
 
+def machine_fingerprint() -> str:
+    """Short stable fingerprint of THIS host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables whose cache key does NOT
+    include the compile host's CPU features; loading an entry written on a
+    machine with different features fails loudly per entry
+    ("Machine type used for XLA:CPU compilation doesn't match ...",
+    cpu_aot_loader.cc) and can be slower than compiling cold. Keying the
+    cache directory by the host's cpuinfo flags makes a foreign cache
+    simply invisible instead of poisonous."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):  # x86 / arm
+                    h.update(line.encode())
+                    break
+    except OSError:  # non-Linux: fall back to the coarse processor string
+        h.update(platform.processor().encode())
+    return h.hexdigest()[:12]
+
+
 def honor_platform_env() -> None:
     """Make `JAX_PLATFORMS=cpu python run_*.py ...` actually select CPU.
 
@@ -64,7 +89,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     every `run_*.py` / `tools/*.py` invocation pays that again (process ==
     compile scope). One shared on-disk cache makes it a one-time cost.
     Opt out with NFDPM_NO_COMPILE_CACHE=1 (e.g. for compile benchmarking);
-    override the location with NFDPM_COMPILE_CACHE=<dir>.
+    override the base location with NFDPM_COMPILE_CACHE=<dir>.
+
+    The final directory is <base>/<machine_fingerprint()> so entries
+    AOT-compiled on a host with different CPU features are never loaded
+    (each failed XLA:CPU AOT load logs an error and recompiles — a cache
+    written elsewhere is worse than no cache; see MULTICHIP_r03).
 
     Also honors an explicit JAX_PLATFORMS env choice (every CLI calls this
     first — see honor_platform_env)."""
@@ -76,8 +106,9 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     current = getattr(jax.config, "jax_compilation_cache_dir", None)
     if current:  # already configured (e.g. the test suite's cache) — keep it
         return current
-    cache_dir = (cache_dir or os.environ.get("NFDPM_COMPILE_CACHE")
-                 or DEFAULT_COMPILE_CACHE)
+    base = (cache_dir or os.environ.get("NFDPM_COMPILE_CACHE")
+            or DEFAULT_COMPILE_CACHE)
+    cache_dir = os.path.join(base, machine_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -104,6 +104,11 @@ def main(argv):
         learned_sinusoidal_dim=int(cfg.model.unet.learned_sinusoidal_dim),
         learned_variance=bool(cfg.select("model.diffusion.learned_variance",
                                          False)),
+        # mixed-precision UNet compute (fp32 master weights; norms, time
+        # embeddings, attention softmax and residual adds stay fp32) —
+        # travels as a string so diffusion_architecture.json round-trips
+        dtype=str(cfg.select("model.diffusion.unet_dtype",
+                             cfg.select("model.unet.dtype", "float32"))),
     )
     diffusion_kwargs = dict(
         timesteps=int(cfg.model.diffusion.timesteps),
@@ -129,9 +134,6 @@ def main(argv):
     mesh = mesh_m.make_mesh(n_model=int(cfg.select("parallel.n_model", 1)),
                             n_slices=int(cfg.select("parallel.n_slices", 1)))
     fsdp = bool(cfg.select("parallel.fsdp", False))
-    dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
-                        diffusion_kwargs=diffusion_kwargs,
-                        batch_sharding=mesh_m.data_sharding(mesh))
 
     tr = cfg.model.training
     tcfg = dt.DiffusionTrainConfig(
@@ -162,10 +164,67 @@ def main(argv):
         lr_end_factor=float(cfg.select("model.optimizer.end_lr_factor", 0.0)),
     )
 
+    loaders = read_dataset(
+        cfg.data.name, cfg.data.root, digits=cfg.data.digits,
+        batch_size=int(cfg.data.batch_size), img_size=img_size,
+        transformations=list(cfg.data.transformations or []),
+        seed=int(cfg.seed),
+        synthetic_fallback=bool(cfg.data.get("synthetic_fallback", False)),
+        synthetic_n=int(cfg.data.get("synthetic_n", 512)),
+    )
+
+    resume_dir = cfg.load.load_exp_dir
+    resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
+    # load.load_batch=k: mid-epoch resume (see run_baseline_experiment.py)
+    resume_batch = (int(rb) if resume_dir and (
+        rb := cfg.select("load.load_batch")) is not None else None)
+    if resume_dir:
+        resume_dir = os.path.join("outputs", resume_dir)
+
+    # Latent standardization (model.normalizing_flow.standardize_latents):
+    # real per-processed-part channelwise (z - mean)/std scaling — the
+    # capability the reference stubbed out as identity hooks
+    # (latent_formaters.py:68-86). Stats fit once from the training stream
+    # through the flow and persist in diffusion_architecture.json; a
+    # resumed or eval'd run ALWAYS reloads the original run's stats (the
+    # diffusion models must keep seeing the space they were trained in).
+    from nfdpm_tpu.models.formaters import stats_from_json
+    from nfdpm_tpu.training.checkpoint import load_architecture
+
+    formater_stats = None
+    if resume_dir:
+        try:
+            formater_stats = stats_from_json(load_architecture(
+                resume_dir, "diffusion_architecture.json"
+            ).get("formater_stats"))
+        except FileNotFoundError:
+            formater_stats = None
+        if formater_stats is not None:
+            logger.info("Loaded latent standardization stats from "
+                        f"{resume_dir}")
+    if formater_stats is None and bool(cfg.select(
+            "model.normalizing_flow.standardize_latents", False)):
+        formater_stats = dt.fit_latent_stats(
+            backbone, flow_params, formater, tcfg, loaders.train,
+            n_batches=int(cfg.select(
+                "model.normalizing_flow.standardize_batches", 8)),
+            seed=int(cfg.seed))
+    if formater_stats is not None:
+        formater = formater.with_stats(formater_stats)
+        logger.info(
+            "Latent standardization ON: sum(log std) over dims = "
+            f"{formater.stats_log_sigma_total():.1f} nats "
+            "(added back to every VLB NLL)")
+
+    dp = DiffusionPrior(formater=formater, unet_kwargs=unet_kwargs,
+                        diffusion_kwargs=diffusion_kwargs,
+                        batch_sharding=mesh_m.data_sharding(mesh))
+
     # Persist everything a standalone consumer (tools/generate_samples.py,
     # later eval runs) needs to rebuild this prior from the run dir alone —
-    # the flow's GlowConfig, formater, UNet + diffusion kwargs. The baseline
-    # runs get the analogous architecture.json from nf_trainer.train.
+    # the flow's GlowConfig, formater (incl. standardization stats), UNet +
+    # diffusion kwargs. The baseline runs get the analogous
+    # architecture.json from nf_trainer.train.
     from nfdpm_tpu.training.checkpoint import save_architecture
 
     save_architecture(run_dir, {
@@ -179,6 +238,7 @@ def main(argv):
             "img_size": img_size,
         },
         "formater": str(nf_cfg.latent_formater),
+        "formater_stats": formater_stats,
         "unet_kwargs": {k: (list(v) if isinstance(v, tuple) else v)
                         for k, v in unet_kwargs.items()},
         "diffusion_kwargs": diffusion_kwargs,
@@ -186,15 +246,6 @@ def main(argv):
         "n_bits": int(tr.n_bits),
         "temperature": float(tr.temperature),
     }, filename="diffusion_architecture.json")
-
-    loaders = read_dataset(
-        cfg.data.name, cfg.data.root, digits=cfg.data.digits,
-        batch_size=int(cfg.data.batch_size), img_size=img_size,
-        transformations=list(cfg.data.transformations or []),
-        seed=int(cfg.seed),
-        synthetic_fallback=bool(cfg.data.get("synthetic_fallback", False)),
-        synthetic_n=int(cfg.data.get("synthetic_n", 512)),
-    )
 
     fid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.FID"))
     kid_cfgs = parse_metric(cfg.select("model.evaluation.metrics.KID"))
@@ -231,14 +282,6 @@ def main(argv):
             f"(N={n}, stderr={stderr:.4f})"
         )
         return bpd
-
-    resume_dir = cfg.load.load_exp_dir
-    resume_epoch = int(cfg.load.load_epoch) if resume_dir else None
-    # load.load_batch=k: mid-epoch resume (see run_baseline_experiment.py)
-    resume_batch = (int(rb) if resume_dir and (
-        rb := cfg.select("load.load_batch")) is not None else None)
-    if resume_dir:
-        resume_dir = os.path.join("outputs", resume_dir)
 
     if parse_train_eval_mode(cfg.phase):
         if bool(cfg.select("parallel.part_parallel", False)):

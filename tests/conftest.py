@@ -29,11 +29,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # Persistent compilation cache: the suite is compile-dominated (~20 min cold);
-# warm re-runs reuse executables across processes/runs.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# warm re-runs reuse executables across processes/runs. Keyed by the host's
+# CPU-feature fingerprint: XLA:CPU AOT entries written on a different machine
+# fail to load (loudly, per entry) and are slower than compiling cold.
+from nfdpm_tpu.utils.env import machine_fingerprint  # noqa: E402
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache", machine_fingerprint())
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

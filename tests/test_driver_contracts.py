@@ -49,7 +49,14 @@ def test_graft_entry_compiles():
     assert np.isfinite(float(out))
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_8():
+    """Replays the exact driver dryrun (budget-gated legs, see
+    __graft_entry__.dryrun_multichip). Slow tier: ~6-8 min cold on a
+    1-core CPU host — run with `pytest -m slow --override-ini addopts=''`."""
     sys.path.insert(0, ROOT)
     import __graft_entry__ as g
 

@@ -603,9 +603,10 @@ def test_fsdp_partitions_device_memory():
 
 def test_restore_params_from_mesh_sharded_checkpoint(tmp_path):
     """restore_params on a checkpoint written with its device shardings
-    intact (FSDP-partitioned leaves over a (4,2) mesh) must place the
-    params on the default device, bit-identical — the inference-tool path
-    (runload) never knows the training topology."""
+    intact (FSDP-partitioned leaves over a (4,2) mesh) must come back as
+    HOST numpy arrays, bit-identical — placement is left to the caller
+    (the inference-tool path, runload, never knows the training
+    topology; per-leaf device restores cost minutes over a tunneled TPU)."""
     from nfdpm_tpu.training.checkpoint import restore_params, save_state
 
     tx = make_optimizer("adam", 1e-3)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(coupling_dtype="float32", dim=64):
+def build(coupling_dtype="float32", dim=64, unet_dtype="float32"):
     from nfdpm_tpu.models import glow as glow_m
     from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
     from nfdpm_tpu.models.formaters import IdentityFormater
@@ -38,7 +38,7 @@ def build(coupling_dtype="float32", dim=64):
     dp = DiffusionPrior(
         formater=IdentityFormater(L=3, in_channels=3, size=32),
         unet_kwargs={"dim": dim, "dim_mults": (1, 2),
-                     "resnet_block_groups": 8},
+                     "resnet_block_groups": 8, "dtype": unet_dtype},
         diffusion_kwargs={"timesteps": 1000, "beta_schedule": "cosine",
                           "loss_type": "l2"},
     )
@@ -68,6 +68,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--chain", type=int, default=50)
+    ap.add_argument("--parity-steps", type=int, default=30)
     args = ap.parse_args()
 
     from nfdpm_tpu.ops import quantize as q
@@ -153,6 +154,32 @@ def main():
     t_full_bf = timed(lambda: full_bf(), chain=args.chain,
                       fetch=lambda o: float(o))
 
+    # (e) full step, bf16 UNet compute (fp32 master weights + fp32 flow) —
+    # the model.diffusion.unet_dtype=bfloat16 training knob
+    *_, state_ubf, step_ubf = build("float32", args.dim, "bfloat16")
+    st_ubf = jax.tree.map(jnp.copy, state_ubf)
+
+    def full_ubf():
+        nonlocal st_ubf
+        st_ubf, m = step_ubf(st_ubf, batch, key)
+        return m["loss"]
+
+    t_full_ubf = timed(lambda: full_ubf(), chain=args.chain,
+                       fetch=lambda o: float(o))
+
+    # loss-trajectory parity: N fresh steps from identical init/keys, fp32
+    # UNet vs bf16 UNet (rel deviation per step; bf16 rounding scale ~1e-2)
+    *_, pst32, pstep32 = build("float32", args.dim, "float32")
+    *_, pst16, pstep16 = build("float32", args.dim, "bfloat16")
+    devs = []
+    for i in range(args.parity_steps):
+        k = jax.random.fold_in(key, i)
+        pst32, m32 = pstep32(pst32, batch, k)
+        pst16, m16 = pstep16(pst16, batch, k)
+        l32, l16 = float(m32["loss"]), float(m16["loss"])
+        devs.append(abs(l16 - l32) / max(abs(l32), 1e-9))
+    max_dev = max(devs) if devs else float("nan")
+
     print(f"stage-2 train step, batch {args.batch}, UNet dim {args.dim}, "
           f"frozen L3/K4/w512 flow:")
     print(f"  full step (fp32 flow)        : {t_full:8.3f} ms")
@@ -162,6 +189,10 @@ def main():
           f"({t_diff / t_full * 100:.0f}% of full)")
     print(f"  full step (bf16 flow)        : {t_full_bf:8.3f} ms "
           f"({t_full / t_full_bf:.2f}x)")
+    print(f"  full step (bf16 UNet)        : {t_full_ubf:8.3f} ms "
+          f"({t_full / t_full_ubf:.2f}x)")
+    print(f"  bf16-UNet loss-trajectory max rel dev over "
+          f"{args.parity_steps} steps: {max_dev:.3e}")
 
 
 if __name__ == "__main__":

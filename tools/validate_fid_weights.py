@@ -186,7 +186,100 @@ def validate_fid_end_to_end(mode: str = "legacy_tensorflow") -> bool:
     return abs(ours - theirs) < 0.1
 
 
-def main():
+def refresh_stats(model_name: str, mode: str = "legacy_tensorflow",
+                  dataset: str = None, data_root: str = "./datasets",
+                  stats_dir: str = None) -> bool:
+    """Recompute ONE stored stats file through the full precompute pipeline
+    (resize -> on-device features -> mu/Sigma + raw KID feats -> stats dir)
+    and reload it — the step that turns validated weights into usable
+    FID/KID stats in the same command (VERDICT r3 item 7).
+
+    With --dataset, routes through `make_custom_stats` on the real dataset
+    files; without, a fixed synthetic image set exercises the identical
+    code path under the name 'validate_synthetic'."""
+    from nfdpm_tpu.metrics import fid as fid_m
+    from nfdpm_tpu.metrics.compute import (
+        FEATURE_RES,
+        get_feature_extractor,
+        make_custom_stats,
+    )
+
+    stats_dir = stats_dir or fid_m.DEFAULT_STATS_DIR
+    if dataset:
+        path = make_custom_stats(None, data_root, dataset, "train", 32,
+                                 mode, model_name, stats_dir=stats_dir)
+    else:
+        rng = np.random.default_rng(7)
+        imgs = rng.integers(0, 256, (128, 32, 32, 3)).astype(np.uint8)
+        feature_fn = get_feature_extractor(model_name)
+        feats = fid_m.extract_features(imgs, feature_fn,
+                                       FEATURE_RES[model_name], mode)
+        path = fid_m.save_stats(feats, "validate_synthetic", mode,
+                                model_name, "train", 32, stats_dir)
+    name = dataset or "validate_synthetic"
+    mu, sigma, kid_feats = fid_m.load_stats(name, mode, model_name,
+                                            "train", 32, stats_dir)
+    ok = (np.all(np.isfinite(mu)) and np.all(np.isfinite(sigma))
+          and kid_feats is not None and len(kid_feats) > 0)
+    print(f"  stats file {path}: mu{mu.shape} sigma{sigma.shape} "
+          f"kid_feats{np.asarray(kid_feats).shape} "
+          f"{'OK' if ok else 'NON-FINITE'}")
+    return bool(ok)
+
+
+def make_random_weight_files(out_dir: str) -> None:
+    """Write RANDOM-weight .pth files in the exact formats the real
+    downloads use (pt_inception state dict; CLIP visual.* state dict), from
+    the bundled pure-torch mirror architectures. Lets the ENTIRE command —
+    strict import, feature parity vs torch, stats precompute — dry-run on a
+    zero-egress box; with real files the same path validates absolutely."""
+    import torch
+
+    from nfdpm_tpu.metrics import torch_clip, torch_inception
+
+    os.makedirs(out_dir, exist_ok=True)
+    inc = torch_inception.build_feature_model()
+    torch.save(inc.state_dict(), os.path.join(out_dir, INCEPTION_FILE))
+    vit = torch_clip.build_visual_model()
+    sd = {f"visual.{k}": v for k, v in vit.state_dict().items()}
+    torch.save(sd, os.path.join(out_dir, CLIP_FILE))
+    print(f"  wrote random-weight {INCEPTION_FILE} + {CLIP_FILE} to {out_dir}")
+
+
+def main(argv=None):
+    import argparse
+
+    global WEIGHTS_DIR
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights-dir", default=WEIGHTS_DIR,
+                   help="dir holding the two weight files (or to write the "
+                        "--random-weights dry-run files into)")
+    p.add_argument("--random-weights", action="store_true",
+                   help="generate random-weight files in the expected "
+                        "formats first, then run every check against them "
+                        "(zero-egress dry-run of the full command)")
+    p.add_argument("--dataset", default=None,
+                   help="also recompute this dataset's stored stats file "
+                        "(e.g. cifar10) via the real reader; default uses a "
+                        "synthetic image set through the same pipeline")
+    p.add_argument("--data_root", default="./datasets")
+    p.add_argument("--stats_dir", default=None)
+    p.add_argument("--mode", default="legacy_tensorflow",
+                   choices=["legacy_tensorflow", "clean"])
+    args = p.parse_args(argv)
+
+    WEIGHTS_DIR = args.weights_dir
+    # keep the metrics engine's extractor resolution in lockstep with the
+    # CLI choice (compute.WEIGHTS_DIR snapshots the env var at import)
+    os.environ["NFDPM_TPU_WEIGHTS_DIR"] = WEIGHTS_DIR
+    from nfdpm_tpu.metrics import compute as _compute
+
+    _compute.WEIGHTS_DIR = WEIGHTS_DIR
+    _compute._EXTRACTOR_CACHE.clear()
+    if args.random_weights:
+        print("[random-weights dry-run]")
+        make_random_weight_files(WEIGHTS_DIR)
+
     ok = True
     for name, fn in (("inception_v3", validate_inception),
                      ("clip_vit_b_32", validate_clip)):
@@ -198,6 +291,9 @@ def main():
                   "(see module docstring for URL + sha256)")
             continue
         ok = fn(path) and ok
+        print(f"[{name} stats refresh]")
+        ok = refresh_stats(name, args.mode, args.dataset, args.data_root,
+                           args.stats_dir) and ok
 
     if os.path.exists(os.path.join(WEIGHTS_DIR, INCEPTION_FILE)):
         print("[fid end-to-end]")
