@@ -217,9 +217,9 @@ def refresh_stats(model_name: str, mode: str = "legacy_tensorflow",
         path = fid_m.save_stats(feats, "validate_synthetic", mode,
                                 model_name, "train", 32, stats_dir)
     name = dataset or "validate_synthetic"
-    mu, sigma, kid_feats = fid_m.load_stats(name, mode, model_name,
-                                            "train", 32, stats_dir)
-    ok = (np.all(np.isfinite(mu)) and np.all(np.isfinite(sigma))
+    st = fid_m.load_stats(name, mode, model_name, "train", 32, stats_dir)
+    mu, sigma, kid_feats = st["mu"], st["sigma"], st["feats"]
+    ok = (bool(np.all(np.isfinite(mu))) and bool(np.all(np.isfinite(sigma)))
           and kid_feats is not None and len(kid_feats) > 0)
     print(f"  stats file {path}: mu{mu.shape} sigma{sigma.shape} "
           f"kid_feats{np.asarray(kid_feats).shape} "
@@ -267,6 +267,15 @@ def main(argv=None):
     p.add_argument("--mode", default="legacy_tensorflow",
                    choices=["legacy_tensorflow", "clean"])
     args = p.parse_args(argv)
+
+    # honor an explicit JAX_PLATFORMS choice (the axon sitecustomize
+    # force-selects the TPU backend after jax consumed the env var; the
+    # CLIP ViT graph exceeds the tunnel proxy's request limit — HTTP 413 —
+    # so feature extraction must be runnable on CPU on this box) and share
+    # the persistent compile cache like every other CLI
+    from nfdpm_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
 
     WEIGHTS_DIR = args.weights_dir
     # keep the metrics engine's extractor resolution in lockstep with the
