@@ -342,10 +342,11 @@ class Unet(nn.Module):
     # UNets, cf. jax.checkpoint on the flow scan)
     dtype: jnp.dtype = jnp.float32  # bfloat16: conv compute in bf16 (norms,
     # time embeddings, attention softmax, and residual adds stay fp32).
-    # Measured perf-NEUTRAL on v5e at 16^2..64^2 latents (XLA already runs
-    # fp32 convs as bf16 MXU passes; explicit casts add no win while
-    # activations are upcast between ops) — provided as a mixed-precision
-    # capability knob, ~0.9% output delta vs fp32 on identical params.
+    # Forward-only is perf-neutral on v5e (XLA already runs fp32 convs as
+    # bf16 MXU passes), but the full train step (fwd+bwd+Adam) measures
+    # 1.13x at the MNIST stage-2 recipe with loss-trajectory parity at
+    # bf16 rounding scale (max rel dev 3.9e-3 / 30 steps) — BENCH.md r4.
+    # Surfaced as model.diffusion.unet_dtype.
 
     @property
     def effective_out_dim(self) -> int:
