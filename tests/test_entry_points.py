@@ -191,6 +191,61 @@ def test_two_stage_workflow(workdir, monkeypatch):
     assert np.mean(np.abs(g[1].astype(int) - g[0].astype(int))) < 8.5
 
 
+def test_standardized_bf16_stage2(workdir, monkeypatch):
+    """Round-4 knobs through the full CLI: latent standardization
+    (stats fitted, persisted in diffusion_architecture.json, reloaded by
+    the eval phase AND by runload) and the bf16 UNet
+    (model.diffusion.unet_dtype travels as a string)."""
+    import json
+
+    monkeypatch.chdir(workdir)
+
+    import run_diffusion_prior_experiment as diff_exp
+
+    runs = os.listdir(os.path.join(workdir, "outputs"))
+    nf_run = [r for r in runs if r.startswith("nf_test")][0]
+    common = [
+        "data.name=synthetic", "data.synthetic_fallback=true",
+        "data.batch_size=8", "data.img_size=8",
+        f"model.normalizing_flow.init_nf.pretrain.dir={nf_run}",
+        "model.normalizing_flow.init_nf.pretrain.epoch=1",
+        "model.normalizing_flow.standardize_latents=true",
+        "model.normalizing_flow.standardize_batches=2",
+        "model.diffusion.unet_dtype=bfloat16",
+        "model.unet.dim=8", "model.unet.dim_mults=[1,2]",
+        "model.unet.resnet_block_groups=2",
+        "model.diffusion.timesteps=8", "model.diffusion.sampling_timesteps=4",
+    ]
+    diff_exp.main(["experiment_name=diff_std", "model.training.epochs=1",
+                   "model.training.save_checkpoint_freq=1"] + common)
+
+    runs = os.listdir(os.path.join(workdir, "outputs"))
+    std_run = [r for r in runs if r.startswith("diff_std")][0]
+    arch_path = os.path.join(workdir, "outputs", std_run,
+                             "diffusion_architecture.json")
+    with open(arch_path) as f:
+        arch = json.load(f)
+    assert arch["unet_kwargs"]["dtype"] == "bfloat16"
+    stats = arch["formater_stats"]
+    assert stats and len(stats) > 0
+    for mean, std in stats:
+        assert len(mean) == len(std) and all(s > 0 for s in std)
+
+    # eval phase reloads the persisted stats (not a refit) and runs
+    diff_exp.main(["experiment_name=diff_std_eval", "phase=eval",
+                   f"load.load_exp_dir={std_run}", "load.load_epoch=1"]
+                  + common)
+
+    # runload rebuilds the formater with the same stats and bf16 UNet
+    from nfdpm_tpu.training.runload import load_diffusion_run
+
+    run = load_diffusion_run(os.path.join(workdir, "outputs", std_run))
+    assert run.dp.formater.stats is not None
+    got = [[list(m), list(s)] for m, s in run.dp.formater.stats]
+    assert got == stats
+    assert run.dp.formater.stats_log_sigma_total() != 0.0
+
+
 def test_sweep_tool(workdir, monkeypatch):
     """tools/sweep.py: two tiny baseline runs from one spec, combined
     summary with per-run final metrics and a comparison report."""
