@@ -56,8 +56,13 @@ def bench_ddpm():
     variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((batch, h, w, c)),
                           jnp.zeros((batch,), jnp.int32), None)
     params = jax.device_put(variables["params"])
+    # scan_unroll=4: +6.6% on this exact chain (849.5 -> 905.4 steps/s,
+    # same-session A/B via tools/bench_ddpm.py; 8 is flat, stacked-mid-attn
+    # regresses when combined — BENCH.md round 4)
     cfg = DiffusionConfig(image_size=h, channels=c, timesteps=T,
-                          beta_schedule="cosine", auto_normalize=False)
+                          beta_schedule="cosine", auto_normalize=False,
+                          scan_unroll=int(os.environ.get(
+                              "NFDPM_BENCH_DDPM_UNROLL", "4")))
     diff = GaussianDiffusion(
         lambda p, x, t, sc: unet.apply({"params": p}, x, t, sc), cfg)
 
