@@ -35,6 +35,18 @@ RUN_DDPM = os.environ.get("NFDPM_BENCH_DDPM", "1") != "0"
 # Coupling-CNN storage dtype. Default fp32 = apples-to-apples vs the fp32
 # torch-CPU baseline; bfloat16 measures 1.14x on this chain (BENCH.md r3).
 DTYPE = os.environ.get("NFDPM_BENCH_DTYPE", "float32")
+# N independently-timed trials per metric; the JSON reports the MEDIAN plus
+# min/max spread so the driver history can tell regression from the ±3%
+# cross-session weather BENCH.md documents (VERDICT r4 weak #1).
+TRIALS = int(os.environ.get("NFDPM_BENCH_TRIALS", "5"))
+
+
+def _dispersion(rates):
+    med = sorted(rates)[len(rates) // 2]
+    return med, {"trials": len(rates), "min": round(min(rates), 2),
+                 "max": round(max(rates), 2),
+                 "spread_pct": round(100.0 * (max(rates) - min(rates))
+                                     / med, 2)}
 
 
 def bench_ddpm():
@@ -69,12 +81,12 @@ def bench_ddpm():
     sample = jax.jit(lambda p, k: diff.p_sample_loop(p, k, (batch, h, w, c)))
     float(jnp.sum(sample(params, jax.random.PRNGKey(1))))  # compile
 
-    reps = 3
-    t_start = time.perf_counter()
-    for r in range(reps):
+    rates = []
+    for r in range(TRIALS):
+        t0 = time.perf_counter()
         float(jnp.sum(sample(params, jax.random.PRNGKey(2 + r))))
-    dt = (time.perf_counter() - t_start) / reps
-    return T / dt
+        rates.append(T / (time.perf_counter() - t0))
+    return rates
 
 
 def main():
@@ -111,26 +123,29 @@ def main():
     # warmup / compile
     float(chain(params, x0))
 
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        s = float(chain(params, x0))  # host fetch forces real completion
-    dt = (time.perf_counter() - t0) / reps
+    rates = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        float(chain(params, x0))  # host fetch forces real completion
+        rates.append(CHAIN * BATCH / (time.perf_counter() - t0))
 
-    ips = CHAIN * BATCH / dt
+    ips, disp = _dispersion(rates)
     record = {
         "metric": "glow_L3K4_fwd_inverse_images_per_sec_per_chip_32x32",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / REFERENCE_CPU_IMAGES_PER_SEC, 2),
+        "dispersion": disp,
     }
     if RUN_DDPM:
-        ddpm_sps = bench_ddpm()
+        ddpm_rates = bench_ddpm()
+        ddpm_sps, ddpm_disp = _dispersion(ddpm_rates)
         record["secondary"] = {
             "metric": "ddpm_unet64_denoise_steps_per_sec_batch64_16x16x6",
             "value": round(ddpm_sps, 2),
             "unit": "steps/sec",
             "vs_baseline": round(ddpm_sps / REFERENCE_CPU_DDPM_STEPS_PER_SEC, 2),
+            "dispersion": ddpm_disp,
         }
     print(json.dumps(record))
 

@@ -103,33 +103,34 @@ class DiffusionPrior:
         return self.formater.postprocess(samples)
 
     def sample_latents_given_start(
-        self, params, key, latents: Sequence[jax.Array]
+        self, params, key, processed: Sequence[jax.Array]
     ) -> List[jax.Array]:
-        """Noise each (already part-shaped) latent to T-1, then run the full
-        denoise chain back (model.py:137-138 -> DiffusionModel
-        sample_latent_given_start, model.py:57-70)."""
+        """Noise each PROCESSED part (formater.process_latents output — i.e.
+        already in the standardized space the diffusion models were trained
+        in) to T-1, then run the full denoise chain back (model.py:137-138 ->
+        DiffusionModel sample_latent_given_start, model.py:57-70). Returns
+        processed parts; undo with formater.postprocess. Taking processed
+        parts keeps exactly ONE standardize on the way in and one
+        inv-standardize on the way out (ADVICE r4: the previous part-shaped
+        contract double-standardized whenever formater stats were set)."""
         out = []
-        # standardize in / inv-standardize out: the diffusion models are
-        # trained in the formater's standardized space (identity w/o stats)
-        for i, (diff, z) in enumerate(
-                zip(self.parts, self.formater.standardize_latents(latents))):
+        for i, (diff, z) in enumerate(zip(self.parts, processed)):
             out.append(diff.sample_given_start(
                 params["parts"][i], jax.random.fold_in(key, i), z
             ))
-        return self.formater.inv_standardize_latents(out)
+        return out
 
     def interpolate_latents(
-        self, params, key, latents1, latents2, lam: float = 0.5
+        self, params, key, processed1, processed2, lam: float = 0.5
     ) -> List[jax.Array]:
-        """Per-part diffusion interpolation at t=T-1 on part-shaped latents
-        (model.py:149-150)."""
-        l1 = self.formater.standardize_latents(latents1)
-        l2 = self.formater.standardize_latents(latents2)
+        """Per-part diffusion interpolation at t=T-1 on PROCESSED parts
+        (model.py:149-150). Contract as in sample_latents_given_start:
+        inputs and outputs live in the trained (standardized) space."""
         out = []
         for i, diff in enumerate(self.parts):
             out.append(diff.interpolate(params["parts"][i], jax.random.fold_in(key, i),
-                                        l1[i], l2[i], t=None, lam=lam))
-        return self.formater.inv_standardize_latents(out)
+                                        processed1[i], processed2[i], t=None, lam=lam))
+        return out
 
     # -- evaluation -------------------------------------------------------
     def _per_part_nll_nats(

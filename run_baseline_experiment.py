@@ -160,12 +160,20 @@ def main(argv):
         eval_step = nft.make_eval_step(gcfg, tcfg)
         sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size),
                                        mesh=mesh)
+        # Multi-sample dequantization (VERDICT r4 item 7): K>1 tightens the
+        # dequantization bound; bpd_iwae=true uses the importance-weighted
+        # logsumexp estimator the reference's calculate_bpd docstring
+        # promises but never computes (trainer.py:21-55).
+        k_deq = int(cfg.select("model.evaluation.bpd_dequant_samples", 1))
+        iwae = bool(cfg.select("model.evaluation.bpd_iwae", False))
         for fold, (split, loader) in enumerate(
             (("test", loaders.test), ("train", loaders.eval))
         ):
             bpd = nft.calculate_bpd(eval_step, state["params"], loader,
-                                    jax.random.fold_in(jax.random.PRNGKey(int(cfg.seed)), fold))
-            logger.info(f"{split} bpd: {bpd:.4f}")
+                                    jax.random.fold_in(jax.random.PRNGKey(int(cfg.seed)), fold),
+                                    n_dequant_samples=k_deq, iwae=iwae)
+            tag = f" (K={k_deq}{', iwae' if iwae else ''})" if k_deq > 1 else ""
+            logger.info(f"{split} bpd{tag}: {bpd:.4f}")
         if evaluate_fn is not None:
             evaluate_fn(sample_fn, state["params"], resume_epoch, full=True)
     else:

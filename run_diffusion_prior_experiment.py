@@ -202,8 +202,19 @@ def main(argv):
         if formater_stats is not None:
             logger.info("Loaded latent standardization stats from "
                         f"{resume_dir}")
-    if formater_stats is None and bool(cfg.select(
-            "model.normalizing_flow.standardize_latents", False)):
+        elif bool(cfg.select(
+                "model.normalizing_flow.standardize_latents", False)):
+            # ADVICE r4: the resumed run's architecture has NO stats, so its
+            # diffusion params were trained on UNstandardized latents —
+            # refitting fresh stats here would feed them a space they never
+            # saw. Ignore the config flag instead (restored params win).
+            logger.warning(
+                "standardize_latents=true requested but the resumed run at "
+                f"{resume_dir} was trained WITHOUT standardization stats — "
+                "ignoring the flag to keep the restored diffusion params in "
+                "their trained latent space.")
+    if (formater_stats is None and resume_dir is None and bool(cfg.select(
+            "model.normalizing_flow.standardize_latents", False))):
         formater_stats = dt.fit_latent_stats(
             backbone, flow_params, formater, tcfg, loaders.train,
             n_batches=int(cfg.select(

@@ -34,6 +34,12 @@ def test_bench_prints_single_json_line():
     rec = json.loads(json_lines[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0
+    # VERDICT r4 weak #1: the bench must be statistically honest — median of
+    # N>=3 independently timed trials with the min/max spread recorded
+    disp = rec["dispersion"]
+    assert disp["trials"] >= 3
+    assert disp["min"] <= rec["value"] <= disp["max"]
+    assert "spread_pct" in disp
 
 
 def test_graft_entry_compiles():

@@ -141,6 +141,50 @@ def test_diffusion_prior_nll_adds_change_of_variables_term():
     assert fs.stats_log_sigma_total() != 0.0
 
 
+def test_interpolate_and_given_start_see_trained_space():
+    """ADVICE r4 contract: interpolate_latents / sample_latents_given_start
+    take PROCESSED (already-standardized) parts and run the diffusion chain
+    on exactly those tensors — a with-stats prior must produce bit-identical
+    outputs to a no-stats prior fed the same processed tensors (no hidden
+    second standardize inside the call)."""
+    from nfdpm_tpu.models.diffusion_prior import DiffusionPrior
+
+    rng = np.random.default_rng(7)
+    f0 = IdentityFormater(L=2, in_channels=3, size=16)
+    fs = f0.with_stats(_fake_stats(f0, rng))
+    kw = dict(
+        unet_kwargs={"dim": 8, "dim_mults": (1,), "resnet_block_groups": 4},
+        diffusion_kwargs={"timesteps": 4, "beta_schedule": "linear",
+                          "loss_type": "l2"},
+    )
+    dp0 = DiffusionPrior(formater=f0, **kw)
+    dps = DiffusionPrior(formater=fs, **kw)
+    params = dp0.init_params(0)
+    key = jax.random.PRNGKey(2)
+
+    raw = _random_parts(fs, rng, batch=2)
+    processed = fs.process_latents(raw)
+
+    i0 = dp0.interpolate_latents(params, key,
+                                 [p[:1] for p in processed],
+                                 [p[1:2] for p in processed], lam=0.3)
+    is_ = dps.interpolate_latents(params, key,
+                                  [p[:1] for p in processed],
+                                  [p[1:2] for p in processed], lam=0.3)
+    for a, b in zip(i0, is_):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g0 = dp0.sample_latents_given_start(params, key, processed)
+    gs = dps.sample_latents_given_start(params, key, processed)
+    for a, b in zip(g0, gs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the round trip back to raw latent space is exact
+    rec = fs.postprocess(processed)
+    for a, b in zip(raw, rec):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_sample_latents_inverts_standardization():
     """Samples come back in RAW latent space: sampling with stats equals
     inv-standardizing the no-stats samples drawn from the same keys."""

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False,
-               method="auto"):
+               method="auto", learned_variance=False):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +47,7 @@ def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False,
     c = 6
 
     unet = Unet(dim=64, dim_mults=(1, 2), channels=c, resnet_block_groups=8,
-                stacked_mid_attn=stacked)
+                stacked_mid_attn=stacked, learned_variance=learned_variance)
     x0 = jnp.zeros((batch, h, w, c))
     t0_arr = jnp.zeros((batch,), jnp.int32)
     variables = unet.init(jax.random.PRNGKey(0), x0, t0_arr, None)
@@ -59,7 +59,8 @@ def bench_once(batch, T, unroll, ddim_steps=None, reps=3, stacked=False,
     cfg = DiffusionConfig(image_size=h, channels=c, timesteps=T,
                           sampling_timesteps=ddim_steps,
                           beta_schedule="cosine", auto_normalize=False,
-                          scan_unroll=unroll, sampling_method=method)
+                          scan_unroll=unroll, sampling_method=method,
+                          learned_variance=learned_variance)
     diff = GaussianDiffusion(apply_fn, cfg)
     n_steps = ddim_steps or T
 
@@ -214,6 +215,10 @@ def main():
     ap.add_argument("--stacked", action="store_true",
                     help="Unet(stacked_mid_attn=True): mid-block attention "
                          "heads folded into the sequence axis (exact math)")
+    ap.add_argument("--learned-variance", action="store_true",
+                    help="2C-output UNet + learned-sigma sampling (improved-"
+                         "DDPM) — the same-session A/B for BENCH.md's "
+                         "sampler-cost table (VERDICT r4 weak #4)")
     args = ap.parse_args()
 
     if args.mfu:
@@ -230,11 +235,14 @@ def main():
 
     r = bench_once(args.batch, args.T, args.unroll, args.ddim,
                    reps=args.reps, stacked=args.stacked,
-                   method=args.sampler)
+                   method=args.sampler,
+                   learned_variance=args.learned_variance)
     r["metric"] = (f"ddpm_unet64_denoise_steps_per_sec_batch{args.batch}"
                    f"_16x16x6")
     if args.stacked:
         r["metric"] += "_stackedattn"
+    if args.learned_variance:
+        r["metric"] += "_learnedvar"
     r["value"] = r["steps_per_sec"]
     r["unit"] = "steps/sec"
     print(json.dumps(r))
