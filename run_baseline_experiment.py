@@ -27,8 +27,6 @@ def main(argv):
     from nfdpm_tpu.models import glow as glow_m
     from nfdpm_tpu.parallel import mesh as mesh_m
     from nfdpm_tpu.training import nf_trainer as nft
-    from nfdpm_tpu.training.checkpoint import restore_state
-    from nfdpm_tpu.training.optim import make_optimizer
     from nfdpm_tpu.utils.config import load_config, make_run_dir, parse_metric
     from nfdpm_tpu.utils.env import (
         enable_compilation_cache,
@@ -151,12 +149,16 @@ def main(argv):
     elif cfg.phase == "eval":
         if not resume_dir:
             raise ValueError("phase=eval requires load.load_exp_dir/load_epoch")
-        tx = make_optimizer(tcfg.optimizer, tcfg.lr, fixed_prior=tcfg.compat_fixed_prior)
-        template = nft.init_train_state(0, gcfg, tcfg, tx)
-        state = restore_state(resume_dir, "gaussian", resume_epoch, template)
-        # normalize placement: restored leaves keep the shardings they were
-        # saved with (possibly a different mesh); re-place uniformly
-        state = jax.device_put(jax.tree.map(lambda x: np.asarray(x), state))
+        from nfdpm_tpu.training.checkpoint import restore_params
+
+        # params-only restore, templated from the checkpoint's own metadata
+        # (cf. the diffusion entry point's eval phase): optimizer-agnostic,
+        # so runs trained with any optimizer/LR-schedule combination eval
+        # cleanly — rebuilding the training optimizer here used to fail on
+        # schedule-trained checkpoints (opt_state tree mismatch).
+        params = jax.device_put(jax.tree.map(np.asarray, restore_params(
+            resume_dir, "gaussian", resume_epoch)))
+        state = {"params": params}
         eval_step = nft.make_eval_step(gcfg, tcfg)
         sample_fn = nft.make_sample_fn(gcfg, tcfg, int(cfg.data.img_size),
                                        mesh=mesh)
